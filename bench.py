@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Throughput benchmark: batched 48 kHz denoising on one chip.
+
+Measures 10 ms-frames/sec at several batch sizes and reports the aggregate
+real-time factor (frames/sec ÷ 100; one real-time 48 kHz stream consumes 100
+frames/sec).  The reference publishes no numbers (BASELINE.md); the
+north-star target is >= 10,000x aggregate real-time per chip at batch 4096,
+which is what ``vs_baseline`` is normalized against.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+NORTH_STAR = 10_000.0  # aggregate real-time factor target at batch 4096
+
+
+def bench_batch(model, batch: int, n_frames: int, iters: int = 3) -> float:
+    """Returns frames/sec (aggregate over the batch)."""
+    import jax.numpy as jnp
+
+    from nnnoiseless_tpu import init_batch_carry
+    from nnnoiseless_tpu.parallel.mesh import _sharded_chunk
+
+    rng = np.random.RandomState(0)
+    frames = jnp.asarray(
+        (rng.randn(batch, n_frames, 480) * 3000).astype(np.float32)
+    )
+    carry = init_batch_carry(model.meta, batch)
+
+    # warmup/compile
+    carry, out, vad = _sharded_chunk(model.params, model.meta, carry, frames)
+    jax.block_until_ready(out)
+
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        carry, out, vad = _sharded_chunk(model.params, model.meta, carry, frames)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return batch * n_frames / best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--batches", type=int, nargs="*", default=[1, 64, 1024, 4096]
+    )
+    ap.add_argument("--frames", type=int, default=100)
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    from nnnoiseless_tpu import RnnModel
+
+    model = RnnModel.default()
+    dev = jax.devices()[0]
+    results = {}
+    for b in args.batches:
+        fps = bench_batch(model, b, args.frames, args.iters)
+        results[b] = fps
+        print(
+            f"# batch {b:5d}: {fps:12.0f} frames/s = {fps / 100:9.1f}x realtime",
+            file=sys.stderr,
+        )
+
+    top_batch = max(args.batches)
+    rt = results[top_batch] / 100.0
+    print(
+        json.dumps(
+            {
+                "metric": f"aggregate_realtime_factor_batch{top_batch}",
+                "value": round(rt, 1),
+                "unit": "x_realtime_48kHz_mono",
+                "vs_baseline": round(rt / NORTH_STAR, 3),
+                "detail": {
+                    f"batch{b}": round(v / 100.0, 1) for b, v in results.items()
+                },
+                "device": str(dev),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,187 @@
+"""Public denoising API: per-stream stateful wrapper + batched scan engine.
+
+Two levels:
+
+* :class:`DenoiseState` mirrors the reference's low-level API
+  (src/denoise.rs:37-116): one stream, one 480-sample frame per call,
+  returns the VAD probability.  Convenient, host-driven.
+* :func:`process_frames` / :class:`StreamBatch` is the TPU-native path:
+  ``lax.scan`` over frames x ``vmap`` over streams, one compiled program per
+  (model topology, batch, chunk length).  This is where the throughput is —
+  the per-call API exists for parity and small jobs.
+
+Audio convention: f32 samples in the i16 range [-32768, 32767], 48 kHz mono
+per stream (the reference's convention, denoise.rs:85-94).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .constants import FRAME_SIZE
+from .model import ModelMeta, RnnModel
+from .pipeline import DenoiseCarry, frame_step, init_carry
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _frame_step_jit(params, meta: ModelMeta, carry: DenoiseCarry, frame):
+    return frame_step(params, meta, carry, frame)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _process_chunk(params, meta: ModelMeta, carry: DenoiseCarry, frames):
+    """Single stream: frames (T, 480) -> (carry', out (T, 480), vad (T,))."""
+
+    def step(c, f):
+        c2, out, vad = frame_step(params, meta, c, f)
+        return c2, (out, vad)
+
+    carry, (out, vad) = jax.lax.scan(step, carry, frames)
+    return carry, out, vad
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _process_chunk_batch(params, meta: ModelMeta, carry, frames):
+    """Batched: frames (B, T, 480) -> (carry', out (B, T, 480), vad (B, T)).
+
+    The scan runs over the frame axis (the true sequential dependency); the
+    stream axis is vmapped inside each step so every per-frame op sees the
+    full batch and keeps the MXU/VPU busy.
+    """
+
+    def step(c, f):  # f: (B, 480)
+        c2, out, vad = jax.vmap(lambda ci, fi: frame_step(params, meta, ci, fi))(c, f)
+        return c2, (out, vad)
+
+    carry, (out, vad) = jax.lax.scan(step, carry, jnp.swapaxes(frames, 0, 1))
+    return carry, jnp.swapaxes(out, 0, 1), jnp.swapaxes(vad, 0, 1)
+
+
+def init_batch_carry(meta: ModelMeta, batch: int) -> DenoiseCarry:
+    """A zeroed carry replicated over ``batch`` streams."""
+    one = init_carry(meta)
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (batch,) + x.shape), one
+    )
+
+
+def process_frames(
+    model: RnnModel, carry: DenoiseCarry, frames
+) -> tuple[DenoiseCarry, jnp.ndarray, jnp.ndarray]:
+    """Run frames through the denoiser.
+
+    ``frames`` is (T, 480) for one stream or (B, T, 480) for a batch; the
+    carry must have matching batch shape (see :func:`init_batch_carry`).
+    """
+    frames = jnp.asarray(frames, jnp.float32)
+    if frames.ndim == 2:
+        return _process_chunk(model.params, model.meta, carry, frames)
+    if frames.ndim == 3:
+        return _process_chunk_batch(model.params, model.meta, carry, frames)
+    raise ValueError(f"frames must be (T,480) or (B,T,480), got {frames.shape}")
+
+
+class DenoiseState:
+    """Stateful single-stream denoiser, mirroring the reference API.
+
+    >>> state = DenoiseState.new()
+    >>> out, vad = state.process_frame(frame)   # frame: 480 f32 samples
+
+    As with the reference, the first output frame contains fade-in artifacts
+    and is usually discarded.
+    """
+
+    FRAME_SIZE = FRAME_SIZE
+
+    def __init__(self, model: Optional[RnnModel] = None):
+        self.model = model if model is not None else RnnModel.default()
+        self.carry = init_carry(self.model.meta)
+
+    # Constructor aliases mirroring the reference's new/from_model/with_model
+    # (ownership distinctions don't exist in Python; all three share the model).
+    @classmethod
+    def new(cls) -> "DenoiseState":
+        return cls()
+
+    @classmethod
+    def from_model(cls, model: RnnModel) -> "DenoiseState":
+        return cls(model)
+
+    @classmethod
+    def with_model(cls, model: RnnModel) -> "DenoiseState":
+        return cls(model)
+
+    def reset(self) -> None:
+        self.carry = init_carry(self.model.meta)
+
+    def process_frame(self, frame) -> tuple[np.ndarray, float]:
+        """Denoise one 480-sample frame; returns (output, vad_probability)."""
+        frame = jnp.asarray(frame, jnp.float32)
+        if frame.shape != (FRAME_SIZE,):
+            raise ValueError(f"expected frame of shape ({FRAME_SIZE},)")
+        self.carry, out, vad = _frame_step_jit(
+            self.model.params, self.model.meta, self.carry, frame
+        )
+        return np.asarray(out), float(vad)
+
+    def process_chunk(self, frames) -> tuple[np.ndarray, np.ndarray]:
+        """Denoise (T, 480) frames in one device call; returns (out, vad)."""
+        self.carry, out, vad = process_frames(self.model, self.carry, frames)
+        return np.asarray(out), np.asarray(vad)
+
+
+class StreamBatch:
+    """A batch of independent denoiser streams (the TPU-native entry point).
+
+    >>> batch = StreamBatch(batch=1024)
+    >>> out, vad = batch.process(frames)        # frames: (1024, T, 480)
+    """
+
+    def __init__(self, batch: int, model: Optional[RnnModel] = None):
+        self.model = model if model is not None else RnnModel.default()
+        self.batch = batch
+        self.carry = init_batch_carry(self.model.meta, batch)
+
+    def reset(self) -> None:
+        self.carry = init_batch_carry(self.model.meta, self.batch)
+
+    def process(self, frames) -> tuple[np.ndarray, np.ndarray]:
+        frames = jnp.asarray(frames, jnp.float32)
+        if frames.ndim != 3 or frames.shape[0] != self.batch:
+            raise ValueError(
+                f"expected frames of shape ({self.batch}, T, {FRAME_SIZE})"
+            )
+        self.carry, out, vad = process_frames(self.model, self.carry, frames)
+        return np.asarray(out), np.asarray(vad)
+
+
+def denoise_audio(
+    audio,
+    model: Optional[RnnModel] = None,
+    drop_first_frame: bool = True,
+) -> np.ndarray:
+    """Convenience: denoise a full mono signal (n,) or batch (B, n).
+
+    Pads the tail to a whole frame, processes in one scan, and (by default)
+    drops the first output frame like the reference CLI/Signal adapters.
+    Returns the same leading shape with length trimmed to whole frames.
+    """
+    model = model if model is not None else RnnModel.default()
+    audio = np.asarray(audio, np.float32)
+    squeeze = audio.ndim == 1
+    if squeeze:
+        audio = audio[None]
+    b, n = audio.shape
+    t = n // FRAME_SIZE
+    frames = audio[:, : t * FRAME_SIZE].reshape(b, t, FRAME_SIZE)
+    carry = init_batch_carry(model.meta, b)
+    _, out, _ = process_frames(model, carry, frames)
+    out = np.asarray(out).reshape(b, t * FRAME_SIZE)
+    if drop_first_frame:
+        out = out[:, FRAME_SIZE:]
+    return out[0] if squeeze else out

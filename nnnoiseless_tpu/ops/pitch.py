@@ -1,0 +1,352 @@
+"""Pitch analysis: downsample + LPC whitening, two-stage search, octave removal.
+
+TPU-first re-design of the reference pitch stack (src/pitch.rs):
+
+* the 2x decimation + order-4 LPC whitening FIR becomes vectorized slicing,
+  five dot products, an unrolled 4-step Levinson recursion and a 6-tap
+  convolution — no sequential sample loops;
+* the coarse (147-lag) and fine (294-lag) cross-correlations are dense
+  sliding dots (the reference computes the fine stage sparsely; on TPU the
+  dense matproduct is cheaper than gather-heavy sparsity, and the result is
+  masked back to the reference's candidate set so selection is identical);
+* the normalized top-2 selection (find_best_pitch, pitch.rs:372-405) keeps
+  the reference's exact cross-multiplied comparison chain, expressed as a
+  ``lax.scan`` with scalar carries (vectorized over streams by ``vmap``);
+* remove_doubling's dynamic-lag inner products use ``lax.dynamic_slice``
+  windows; the k=2..15 octave loop is statically unrolled with masked
+  updates, and the early ``break`` becomes a sticky invalid flag.
+
+Everything is a pure function of (input_mem, last_period, last_gain); the
+only cross-frame pitch state is (last_period, last_gain).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (
+    MAX_PITCH,
+    PITCH_BUF_DS,
+    PITCH_FRAME_DS,
+    PITCH_MAX_DS,
+    PITCH_MAX_PERIOD,
+    PITCH_MIN_DS,
+    PITCH_MIN_PERIOD,
+)
+from ..tables import SECOND_CHECK
+from .precision import convolve, dot, matmul
+
+_F32 = jnp.float32
+
+# 0.9, 0.9^2, ... computed with sequential f32 multiplies like the reference
+# (pitch.rs:470-474: tmp *= 0.9 each iteration in f32).
+_LPC_TAPER = np.empty(4, dtype=np.float32)
+_t = np.float32(1.0)
+for _i in range(4):
+    _t = np.float32(_t * np.float32(0.9))
+    _LPC_TAPER[_i] = _t
+
+
+def downsample_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """[1/4, 1/2, 1/4] decimation by 2: (1728,) -> (864,).
+
+    x_lp[i] = ((x[2i-1] + x[2i+1])/2 + x[2i])/2, with x[-1] treated as 0
+    (reference pitch.rs:455-458).
+    """
+    even = x[0::2]  # x[2i]
+    odd = x[1::2]  # x[2i+1]
+    prev_odd = jnp.concatenate([jnp.zeros((1,), _F32), odd[:-1]])  # x[2i-1]
+    return ((prev_odd + odd) * _F32(0.5) + even) * _F32(0.5)
+
+
+def autocorr5(x: jnp.ndarray) -> jnp.ndarray:
+    """Autocorrelation lags 0..4 of (n,) — five masked dots."""
+    n = x.shape[-1]
+    acs = [dot(x, x)]
+    for k in range(1, 5):
+        acs.append(dot(x[: n - k], x[k:]))
+    return jnp.stack(acs)
+
+
+def lpc4(ac: jnp.ndarray) -> jnp.ndarray:
+    """Order-4 Levinson-Durbin with the reference's early-exit semantics.
+
+    Replicates pitch.rs:257-292: returns zeros when ac[0] == 0; freezes all
+    updates once the prediction error drops below 0.001 * ac[0].
+    """
+    lpc = [_F32(0.0)] * 4
+    error = ac[0]
+    done = ac[0] == _F32(0.0)
+    thresh = _F32(0.001) * ac[0]
+    for i in range(4):
+        rr = ac[i + 1]
+        for j in range(i):
+            rr = rr + lpc[j] * ac[i - j]
+        r = -rr / jnp.where(done, _F32(1.0), error)
+        new = list(lpc)
+        new[i] = r
+        for j in range((i + 1) // 2):
+            tmp1, tmp2 = new[j], new[i - 1 - j]
+            new[j] = tmp1 + r * tmp2
+            new[i - 1 - j] = tmp2 + r * tmp1
+        lpc = [jnp.where(done, o, n) for o, n in zip(lpc, new)]
+        error = jnp.where(done, error, error - r * r * error)
+        done = jnp.logical_or(done, error < thresh)
+    return jnp.stack(lpc)
+
+
+def whiten(x_lp: jnp.ndarray) -> jnp.ndarray:
+    """LPC whitening of the downsampled buffer (pitch.rs:448-483)."""
+    ac = autocorr5(x_lp)
+    ac = ac.at[0].multiply(_F32(1.0001))  # -40 dB noise floor
+    lag_win = jnp.asarray(
+        [1.0] + [1.0 - (0.008 * i) * (0.008 * i) for i in range(1, 5)], _F32
+    )
+    # reference: ac[i] -= ac[i] * (0.008 i)^2  ==  ac[i] *= (1 - (0.008 i)^2)
+    # keep the subtract form for bit-level faithfulness:
+    sub = jnp.asarray([0.0] + [(0.008 * i) * (0.008 * i) for i in range(1, 5)], _F32)
+    ac = ac - ac * sub
+    del lag_win
+
+    c = lpc4(ac) * jnp.asarray(_LPC_TAPER)
+    # Add a zero at 0.8: kernel [1, c0+0.8, c1+0.8c0, c2+0.8c1, c3+0.8c2, 0.8c3]
+    kernel = jnp.stack(
+        [
+            _F32(1.0),
+            c[0] + _F32(0.8),
+            c[1] + _F32(0.8) * c[0],
+            c[2] + _F32(0.8) * c[1],
+            c[3] + _F32(0.8) * c[2],
+            _F32(0.8) * c[3],
+        ]
+    )
+    # fir5_in_place == causal FIR with zero history == 'full' conv truncated.
+    return convolve(x_lp, kernel)[: x_lp.shape[0]]
+
+
+def sliding_dot(x: jnp.ndarray, y: jnp.ndarray, n_lags: int) -> jnp.ndarray:
+    """xcorr[i] = dot(x, y[i : i+len(x)]) for i in [0, n_lags).
+
+    Dense formulation of pitch_xcorr (pitch.rs:296-363).  Implemented as a
+    gather of y windows + matvec; under vmap this is one batched matmul.
+    """
+    n = x.shape[0]
+    idx = np.arange(n_lags)[:, None] + np.arange(n)[None, :]
+    windows = y[jnp.asarray(idx)]  # (n_lags, n)
+    return matmul(windows, x)
+
+
+def find_best_pitch(
+    xcorr: jnp.ndarray, y: jnp.ndarray, length: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-2 lags maximizing xcorr^2 / ||y[i:i+length]||^2.
+
+    Exact replica of the reference's sequential cross-multiplied comparisons
+    (pitch.rs:372-405) as a scan: candidates need corr > 0; the running
+    window norm is updated and clamped to >= 1 after every lag.
+    """
+    n_lags = xcorr.shape[0]
+    y2 = y * y
+    ysn0 = _F32(1.0) + jnp.sum(y2[:length])
+    y2_out = y2[length : length + n_lags]  # entering the window at lag i
+    y2_in = y2[:n_lags]  # leaving the window at lag i
+
+    def step(carry, inp):
+        bnum, bden, bpitch, snum, sden, spitch, ysn = carry
+        corr, add, sub, i = inp
+        num = corr * corr
+        qualified = corr > _F32(0.0)
+        beats_second = num * sden > snum * ysn
+        beats_best = num * bden > bnum * ysn
+        take_best = qualified & beats_second & beats_best
+        take_second = qualified & beats_second & ~beats_best
+        new_snum = jnp.where(take_best, bnum, jnp.where(take_second, num, snum))
+        new_sden = jnp.where(take_best, bden, jnp.where(take_second, ysn, sden))
+        new_spitch = jnp.where(take_best, bpitch, jnp.where(take_second, i, spitch))
+        new_bnum = jnp.where(take_best, num, bnum)
+        new_bden = jnp.where(take_best, ysn, bden)
+        new_bpitch = jnp.where(take_best, i, bpitch)
+        new_ysn = jnp.maximum(ysn + add - sub, _F32(1.0))
+        return (
+            new_bnum,
+            new_bden,
+            new_bpitch,
+            new_snum,
+            new_sden,
+            new_spitch,
+            new_ysn,
+        ), None
+
+    init = (
+        _F32(-1.0),
+        _F32(0.0),
+        jnp.int32(0),
+        _F32(-1.0),
+        _F32(0.0),
+        jnp.int32(1),
+        ysn0,
+    )
+    lags = jnp.arange(n_lags, dtype=jnp.int32)
+    (_, _, best, _, _, second, _), _ = jax.lax.scan(
+        step, init, (xcorr, y2_out, y2_in, lags)
+    )
+    return best, second
+
+
+def pitch_search(pitch_buf: jnp.ndarray) -> jnp.ndarray:
+    """Two-stage coarse/fine pitch search on the whitened 2x buffer.
+
+    Returns the reference's ``2*best_pitch - offset`` (pitch.rs:63-115), an
+    int32 in [0, 2*MAX_PITCH/2).
+    """
+    x_lp = pitch_buf[PITCH_MAX_DS:]  # (480,)
+    # 4x-downsampled views
+    x_lp4 = x_lp[0::2][: PITCH_FRAME_DS // 2]  # (240,)
+    y_lp4 = pitch_buf[0::2][: PITCH_FRAME_DS // 2 + MAX_PITCH // 4]  # (387,)
+
+    # Coarse: brute force over 147 lags.
+    xcorr4 = sliding_dot(x_lp4, y_lp4, MAX_PITCH // 4)
+    best4, second4 = find_best_pitch(xcorr4, y_lp4, PITCH_FRAME_DS // 2)
+
+    # Fine: all 294 lags as one dense product, masked to the reference's
+    # candidate set (within ±2 of 2*best or 2*second), values clamped >= -1.
+    n_fine = MAX_PITCH // 2
+    xcorr2_full = sliding_dot(x_lp, pitch_buf, n_fine)
+    lags = jnp.arange(n_fine, dtype=jnp.int32)
+    near = (jnp.abs(lags - 2 * best4) <= 2) | (jnp.abs(lags - 2 * second4) <= 2)
+    xcorr2 = jnp.where(near, jnp.maximum(xcorr2_full, _F32(-1.0)), _F32(0.0))
+    best2, _ = find_best_pitch(xcorr2, pitch_buf, PITCH_FRAME_DS)
+
+    # Pseudo-interpolation (only in the interior).
+    bm1 = jnp.clip(best2 - 1, 0, n_fine - 1)
+    bp1 = jnp.clip(best2 + 1, 0, n_fine - 1)
+    a = xcorr2[bm1]
+    b = xcorr2[best2]
+    c = xcorr2[bp1]
+    offset = jnp.where(
+        c - a > _F32(0.7) * (b - a),
+        jnp.int32(1),
+        jnp.where(a - c > _F32(0.7) * (b - c), jnp.int32(-1), jnp.int32(0)),
+    )
+    interior = (best2 > 0) & (best2 < n_fine - 1)
+    offset = jnp.where(interior, offset, jnp.int32(0))
+    return 2 * best2 - offset
+
+
+def remove_doubling(
+    x: jnp.ndarray,
+    pitch_idx: jnp.ndarray,
+    last_period: jnp.ndarray,
+    last_gain: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Octave-error removal (pitch.rs:118-221): try T/k for k=2..15.
+
+    ``x`` is the whitened 2x-downsampled buffer (864,); ``pitch_idx`` is in
+    the original-rate domain.  Returns (period, gain) in the original domain.
+    """
+    min_period = PITCH_MIN_DS  # 30
+    max_period = PITCH_MAX_DS  # 384
+    n = PITCH_FRAME_DS  # 480
+
+    t0 = jnp.minimum(pitch_idx // 2, max_period - 1)
+    prev_period = last_period // 2
+
+    x_tail = jax.lax.dynamic_slice(x, (max_period,), (n,))  # x[384:864]
+
+    def corr_at(t):
+        win = jax.lax.dynamic_slice(x, (max_period - t,), (n,))
+        return dot(x_tail, win)
+
+    xx = dot(x_tail, x_tail)
+    xy0 = corr_at(t0)
+
+    # yy_lookup[i] = max(xx + sum_{k<=i} (x[384-k]^2 - x[864-k]^2), 0)
+    x2 = x * x
+    i = np.arange(1, max_period + 1)
+    enter = x2[jnp.asarray(max_period - i)]  # x[384-i]^2
+    leave = x2[jnp.asarray(max_period + n - i)]  # x[864-i]^2
+    deltas = enter - leave
+    yy_lookup = jnp.concatenate([xx[None], xx + jnp.cumsum(deltas)])
+    yy_lookup = jnp.maximum(yy_lookup, _F32(0.0))  # (385,)
+
+    yy0 = yy_lookup[t0]
+
+    def pitch_gain(xy, xx_, yy_):
+        return xy / jnp.sqrt(_F32(1.0) + xx_ * yy_)
+
+    g0 = pitch_gain(xy0, xx, yy0)
+
+    best_xy, best_yy = xy0, yy0
+    t, g = t0, g0
+    stopped = jnp.bool_(False)
+
+    for k in range(2, 16):
+        t1 = (2 * t0 + k) // (2 * k)
+        active = ~stopped & (t1 >= min_period)
+        stopped = stopped | (t1 < min_period)
+        if k == 2:
+            t1b = jnp.where(t1 + t0 > max_period, t0, t0 + t1)
+        else:
+            t1b = (2 * SECOND_CHECK[k] * t0 + k) // (2 * k)
+        xy = (corr_at(t1) + corr_at(t1b)) * _F32(0.5)
+        yy = (yy_lookup[t1] + yy_lookup[t1b]) * _F32(0.5)
+        g1 = pitch_gain(xy, xx, yy)
+        adiff = jnp.abs(t1 - prev_period)
+        cont = jnp.where(
+            adiff <= 1,
+            last_gain,
+            jnp.where(
+                (adiff <= 2) & (5 * k * k < t0),
+                last_gain * _F32(0.5),
+                _F32(0.0),
+            ),
+        )
+        # Threshold chain exactly as written (pitch.rs:183-189); note the
+        # middle branch is shadowed by the first, as in the reference.
+        thresh = jnp.where(
+            t1 < 3 * min_period,
+            jnp.maximum(_F32(0.85) * g0 - cont, _F32(0.4)),
+            jnp.where(
+                t1 < 2 * min_period,
+                jnp.maximum(_F32(0.9) * g0 - cont, _F32(0.5)),
+                jnp.maximum(_F32(0.7) * g0 - cont, _F32(0.3)),
+            ),
+        )
+        upd = active & (g1 > thresh)
+        best_xy = jnp.where(upd, xy, best_xy)
+        best_yy = jnp.where(upd, yy, best_yy)
+        t = jnp.where(upd, t1, t)
+        g = jnp.where(upd, g1, g)
+
+    best_xy = jnp.maximum(best_xy, _F32(0.0))
+    pg = jnp.where(best_yy <= best_xy, _F32(1.0), best_xy / (best_yy + _F32(1.0)))
+
+    c0 = corr_at(t - 1)
+    c1 = corr_at(t)
+    c2 = corr_at(t + 1)
+    offset = jnp.where(
+        c2 - c0 > _F32(0.7) * (c1 - c0),
+        jnp.int32(1),
+        jnp.where(c0 - c2 > _F32(0.7) * (c1 - c2), jnp.int32(-1), jnp.int32(0)),
+    )
+    pg = jnp.minimum(pg, g)
+    period = jnp.maximum(2 * t + offset, PITCH_MIN_PERIOD)
+    return period, pg
+
+
+def pitch_process(
+    input_mem: jnp.ndarray,
+    last_period: jnp.ndarray,
+    last_gain: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Full per-frame pitch analysis (reference PitchFinder::process).
+
+    ``input_mem`` is the (1728,) input history.  Returns (period, gain); the
+    caller carries them as the next frame's (last_period, last_gain).
+    """
+    x_lp = whiten(downsample_2x(input_mem))
+    search = pitch_search(x_lp)
+    pitch_idx = PITCH_MAX_PERIOD - search
+    return remove_doubling(x_lp, pitch_idx, last_period, last_gain)

@@ -1,0 +1,106 @@
+"""The noise-suppression RNN: dense layers + three RNNoise-style GRUs.
+
+Faithful TPU re-expression of the reference compute (src/rnn.rs:242-379):
+
+* pre-activations accumulate the *raw int8 weight values* (stored as f32)
+  against f32 inputs, then scale by 1/256 before the table-based activation —
+  identical arithmetic to the reference, but as batched matmuls on the MXU
+  instead of scalar column loops;
+* the GRU is Keras ``reset_after=False`` with the reset gate pre-multiplied
+  by the state (rnn.rs:310-312): r = state * sigmoid(...), and the candidate
+  uses ``r`` in the recurrent product;
+* per-frame dataflow (rnn.rs:343-379):
+  d = dense(f); vad_h = gru(d); vad = dense(vad_h);
+  noise_h = gru([d, vad_h, f]); den_h = gru([vad_h, noise_h, f]);
+  gains = dense(den_h).
+
+All functions broadcast over leading batch axes; weights are tiny (87 KB)
+and live comfortably in VMEM.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..constants import WEIGHTS_SCALE
+from ..model import RELU, SIGMOID, TANH, LayerMeta, ModelMeta
+from .precision import matmul
+from .activations import relu, sigmoid_approx, tansig_approx
+
+_SCALE = jnp.float32(WEIGHTS_SCALE)
+
+
+def _activate(x: jnp.ndarray, activation: int) -> jnp.ndarray:
+    if activation == TANH:
+        return tansig_approx(x)
+    if activation == SIGMOID:
+        return sigmoid_approx(x)
+    if activation == RELU:
+        return relu(x)
+    raise ValueError(f"unknown activation {activation}")
+
+
+class RnnState(NamedTuple):
+    """The three GRU hidden states (leading axes = batch)."""
+
+    vad: jnp.ndarray
+    noise: jnp.ndarray
+    denoise: jnp.ndarray
+
+
+def init_rnn_state(meta: ModelMeta, batch_shape: tuple = ()) -> RnnState:
+    z = lambda n: jnp.zeros(batch_shape + (n,), jnp.float32)
+    return RnnState(
+        vad=z(meta.vad_gru.nb_neurons),
+        noise=z(meta.noise_gru.nb_neurons),
+        denoise=z(meta.denoise_gru.nb_neurons),
+    )
+
+
+def dense_apply(layer: dict, meta: LayerMeta, x: jnp.ndarray) -> jnp.ndarray:
+    pre = (layer["b"] + matmul(x, layer["w"])) * _SCALE
+    return _activate(pre, meta.activation)
+
+
+def gru_apply(
+    layer: dict, meta: LayerMeta, state: jnp.ndarray, x: jnp.ndarray
+) -> jnp.ndarray:
+    n = meta.nb_neurons
+    gates_in = matmul(x, layer["wi"])  # (..., 3n)
+    rec_zr = matmul(state, layer["wr"][:, : 2 * n])  # (..., 2n)
+    b = layer["b"]
+
+    z = sigmoid_approx(
+        _SCALE * (b[:n] + gates_in[..., :n] + rec_zr[..., :n])
+    )
+    r = state * sigmoid_approx(
+        _SCALE * (b[n : 2 * n] + gates_in[..., n : 2 * n] + rec_zr[..., n:])
+    )
+    h_pre = _SCALE * (
+        b[2 * n :] + gates_in[..., 2 * n :] + matmul(r, layer["wr"][:, 2 * n :])
+    )
+    h = _activate(h_pre, meta.activation)
+    return z * state + (jnp.float32(1.0) - z) * h
+
+
+def rnn_step(
+    params: dict, meta: ModelMeta, state: RnnState, features: jnp.ndarray
+) -> tuple[RnnState, jnp.ndarray, jnp.ndarray]:
+    """One frame through the full network.
+
+    Returns (new_state, gains (...,22), vad_prob (...,)).
+    """
+    d = dense_apply(params["input_dense"], meta.input_dense, features)
+    vad_h = gru_apply(params["vad_gru"], meta.vad_gru, state.vad, d)
+    vad = dense_apply(params["vad_output"], meta.vad_output, vad_h)
+
+    noise_in = jnp.concatenate([d, vad_h, features], axis=-1)
+    noise_h = gru_apply(params["noise_gru"], meta.noise_gru, state.noise, noise_in)
+
+    den_in = jnp.concatenate([vad_h, noise_h, features], axis=-1)
+    den_h = gru_apply(params["denoise_gru"], meta.denoise_gru, state.denoise, den_in)
+
+    gains = dense_apply(params["denoise_output"], meta.denoise_output, den_h)
+    return RnnState(vad_h, noise_h, den_h), gains, vad[..., 0]

@@ -1,0 +1,71 @@
+"""Device-mesh data parallelism for the denoise engine.
+
+The workload is embarrassingly parallel across streams (the reference's only
+concurrency axis is one DenoiseState per channel, src/signal.rs:42-44 /
+src/nnnoiseless.rs:305).  The TPU-native mapping:
+
+* a 1-D ``Mesh`` over all chips with axis ``"dp"``;
+* the stream/batch axis of frames and of every carry leaf is sharded over
+  ``dp`` (NamedSharding ``P("dp")``), model weights are replicated;
+* there are **zero collectives on the hot path** — streams never couple —
+  so scaling over ICI is linear by construction; XLA only inserts the
+  initial broadcast of the (87 KB) weights.
+
+Training (training/train.py) reuses the same mesh with a ``psum`` over
+gradients — the standard DP pattern.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..model import ModelMeta, RnnModel
+from ..pipeline import frame_step
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis_name: str = "dp") -> Mesh:
+    """1-D mesh over the given (default: all) devices."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_batch(tree, mesh: Mesh, axis_name: str = "dp"):
+    """Place every leaf of a batched pytree with its leading axis sharded."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(2,))
+def _sharded_chunk(params, meta: ModelMeta, carry, frames):
+    """Identical math to denoise._process_chunk_batch; sharding comes from
+    the operand placements (GSPMD propagates the batch sharding through the
+    scan), so one jitted program serves any mesh."""
+
+    def step(c, f):
+        c2, out, vad = jax.vmap(lambda ci, fi: frame_step(params, meta, ci, fi))(c, f)
+        return c2, (out, vad)
+
+    carry, (out, vad) = jax.lax.scan(step, carry, jnp.swapaxes(frames, 0, 1))
+    return carry, jnp.swapaxes(out, 0, 1), jnp.swapaxes(vad, 0, 1)
+
+
+def sharded_process_frames(
+    model: RnnModel, carry, frames, mesh: Optional[Mesh] = None, axis_name: str = "dp"
+):
+    """Run a batched chunk with the stream axis sharded over the mesh.
+
+    ``frames`` is (B, T, 480) with B divisible by the mesh size.  The carry
+    should already be sharded (see :func:`shard_batch`); outputs come back
+    with the same sharding.
+    """
+    mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
+    frames = jnp.asarray(frames, jnp.float32)
+    sharding = NamedSharding(mesh, P(axis_name))
+    frames = jax.device_put(frames, sharding)
+    return _sharded_chunk(model.params, model.meta, carry, frames)

@@ -1,0 +1,283 @@
+"""The fused per-frame denoise step: a pure function over a carry pytree.
+
+This is the TPU-native core.  The reference's mutable frame-at-a-time driver
+(src/denoise.rs:95-116 + src/features.rs) becomes
+
+    frame_step(params, meta, carry, frame[480]) -> (carry', out[480], vad)
+
+with every recurrent buffer — input history, cepstral ring, HP-filter and
+overlap-add memories, GRU states, gain hangover, pitch continuity — held in
+one ``DenoiseCarry``.  Scale comes from ``vmap`` over streams and
+``lax.scan`` over frames (see denoise.py); nothing here has a batch axis.
+
+The feature-analysis half (:class:`FeatureState`, :func:`analyze_frame`) is
+exposed separately because the training-data generator (reference
+src/training.rs:113-134) runs three analysis pipelines — clean, noise,
+combined — without the denoising tail.
+
+Silence-gate semantics (features.rs:160-166 + denoise.rs:101-112): when the
+total band energy is below 0.04, the reference early-returns before touching
+the cepstral ring or running the RNN.  Here both branches are computed and
+every state update is masked, so a silent frame leaves cepstral_mem, mem_id,
+the GRU states and lastg untouched and synthesizes the *unfiltered* spectrum.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .constants import (
+    CEPS_MEM,
+    FRAME_SIZE,
+    NB_BANDS,
+    NB_DELTA_CEPS,
+    NB_FEATURES,
+    PITCH_BUF_SIZE,
+    WINDOW_SIZE,
+)
+from .model import ModelMeta
+from .ops.bands import band_corr, band_energies, dct22, interp_band_gain
+from .ops.biquad import biquad_filter
+from .ops.fft import forward_transform, inverse_transform
+from .ops.pitch import pitch_process
+from .ops.rnn import RnnState, init_rnn_state, rnn_step
+from .tables import BIQUAD_HP_A, BIQUAD_HP_B
+
+_F32 = jnp.float32
+
+_HP_A = jnp.asarray(BIQUAD_HP_A)
+_HP_B = jnp.asarray(BIQUAD_HP_B)
+
+
+class FeatureState(NamedTuple):
+    """Recurrent state of the analysis half (one stream)."""
+
+    input_mem: jnp.ndarray  # (1728,) rolling input history (HP-filtered)
+    hp_mem: jnp.ndarray  # (2,) biquad high-pass state
+    cepstral_mem: jnp.ndarray  # (8, 22) cepstrum ring buffer
+    mem_id: jnp.ndarray  # () int32 ring index
+    pitch_period: jnp.ndarray  # () int32
+    pitch_gain: jnp.ndarray  # () f32
+
+
+class Analysis(NamedTuple):
+    """Per-frame analysis products consumed by the denoising tail / trainer."""
+
+    features: jnp.ndarray  # (42,) the NN input (zeroed when silent)
+    x: jnp.ndarray  # (481,) complex spectrum of the frame
+    p: jnp.ndarray  # (481,) complex spectrum at the pitch lag
+    ex: jnp.ndarray  # (22,) band energies of x
+    ep: jnp.ndarray  # (22,) band energies of p
+    exp: jnp.ndarray  # (22,) normalized band correlation x<->p
+    silence: jnp.ndarray  # () bool
+    period: jnp.ndarray  # () int32 pitch period
+
+
+class DenoiseCarry(NamedTuple):
+    """All recurrent state for one stream (~9.6 KB as f32)."""
+
+    feat: FeatureState
+    synthesis_mem: jnp.ndarray  # (480,) overlap-add tail
+    rnn: RnnState  # GRU hidden states
+    lastg: jnp.ndarray  # (22,) previous gains (hangover)
+
+
+def init_feature_state() -> FeatureState:
+    return FeatureState(
+        input_mem=jnp.zeros((PITCH_BUF_SIZE,), _F32),
+        hp_mem=jnp.zeros((2,), _F32),
+        cepstral_mem=jnp.zeros((CEPS_MEM, NB_BANDS), _F32),
+        mem_id=jnp.int32(0),
+        pitch_period=jnp.int32(0),
+        pitch_gain=_F32(0.0),
+    )
+
+
+def init_carry(meta: ModelMeta) -> DenoiseCarry:
+    return DenoiseCarry(
+        feat=init_feature_state(),
+        synthesis_mem=jnp.zeros((FRAME_SIZE,), _F32),
+        rnn=init_rnn_state(meta),
+        lastg=jnp.zeros((NB_BANDS,), _F32),
+    )
+
+
+def _transform_at_lag(input_mem: jnp.ndarray, lag: jnp.ndarray):
+    """Window + rFFT + band energies of input_mem[-(960+lag) : -lag].
+
+    (reference transform_input, features.rs:281-298)
+    """
+    start = PITCH_BUF_SIZE - WINDOW_SIZE - lag
+    frame = jax.lax.dynamic_slice(input_mem, (start,), (WINDOW_SIZE,))
+    spec = forward_transform(frame)
+    return spec, band_energies(spec)
+
+
+def _log_spectrum(ex: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Floored/followed log band energies (features.rs:147-158).
+
+    Returns (ly (22,), total_energy ()).  The floor chain is sequential over
+    the 22 bands; unrolled statically.
+    """
+    log_max = _F32(-2.0)
+    follow = _F32(-2.0)
+    ly = []
+    for i in range(NB_BANDS):
+        v = jnp.log10(_F32(1e-2) + ex[i])
+        v = jnp.maximum(jnp.maximum(v, log_max - _F32(7.0)), follow - _F32(1.5))
+        log_max = jnp.maximum(log_max, v)
+        follow = jnp.maximum(follow - _F32(1.5), v)
+        ly.append(v)
+    return jnp.stack(ly), jnp.sum(ex)
+
+
+def _spectral_variability(cepstral_mem: jnp.ndarray) -> jnp.ndarray:
+    """Sum over rows of the min pairwise squared distance (features.rs:196-216)."""
+    diff = cepstral_mem[:, None, :] - cepstral_mem[None, :, :]
+    dist = jnp.sum(diff * diff, axis=-1)  # (8, 8)
+    dist = dist + jnp.eye(CEPS_MEM, dtype=_F32) * _F32(1e15)  # exclude j == i
+    min_dist = jnp.min(dist, axis=1)
+    return jnp.sum(min_dist) / _F32(CEPS_MEM) - _F32(2.1)
+
+
+def analyze_frame(
+    state: FeatureState, frame: jnp.ndarray
+) -> tuple[FeatureState, Analysis]:
+    """Input shift + HP filter + full 42-dim feature analysis of one frame.
+
+    Equivalent to shift_and_filter_input + compute_frame_features
+    (features.rs:97-219).  Cepstral-ring updates are masked out on silent
+    frames; input/pitch state updates are unconditional, as in the reference.
+    """
+    # --- input shift + high-pass (features.rs:97-104) --------------------
+    filtered, hp_mem = biquad_filter(frame, state.hp_mem, _HP_A, _HP_B)
+    input_mem = jnp.concatenate([state.input_mem[FRAME_SIZE:], filtered])
+
+    # --- analysis at lag 0 -------------------------------------------------
+    x, ex = _transform_at_lag(input_mem, jnp.int32(0))
+
+    # --- pitch analysis (state updates are unconditional, pitch.rs:45-54) --
+    period, pgain = pitch_process(input_mem, state.pitch_period, state.pitch_gain)
+
+    # --- analysis at pitch lag + band correlations --------------------------
+    p, ep = _transform_at_lag(input_mem, period)
+    exp_raw = band_corr(x, p)
+    exp = exp_raw / jnp.sqrt(_F32(0.001) + ex * ep)
+
+    # --- pitch-correlation cepstral features (features.rs:139-146) ---------
+    tmp = dct22(exp)
+    f_pitch = tmp[:NB_DELTA_CEPS]
+    f_pitch = f_pitch.at[0].add(_F32(-1.3)).at[1].add(_F32(-0.9))
+    f_period = _F32(0.01) * (period.astype(_F32) - _F32(300.0))
+
+    # --- log band energies + silence gate -----------------------------------
+    ly, e = _log_spectrum(ex)
+    silence = e < _F32(0.04)
+
+    # --- cepstrum + ring buffer + deltas (features.rs:167-194) --------------
+    ceps = dct22(ly)
+    ceps = ceps.at[0].add(_F32(-12.0)).at[1].add(_F32(-4.0))
+    idx0 = state.mem_id
+    idx1 = jnp.where(idx0 < 1, idx0 + CEPS_MEM - 1, idx0 - 1)
+    idx2 = jnp.where(idx0 < 2, idx0 + CEPS_MEM - 2, idx0 - 2)
+    new_ceps_mem = jax.lax.dynamic_update_slice(
+        state.cepstral_mem, ceps[None, :], (idx0, jnp.int32(0))
+    )
+    c0 = ceps
+    c1 = jax.lax.dynamic_slice(new_ceps_mem, (idx1, jnp.int32(0)), (1, NB_BANDS))[0]
+    c2 = jax.lax.dynamic_slice(new_ceps_mem, (idx2, jnp.int32(0)), (1, NB_BANDS))[0]
+    d = NB_DELTA_CEPS
+    f_sum = c0[:d] + c1[:d] + c2[:d]
+    f_d1 = c0[:d] - c2[:d]
+    f_d2 = c0[:d] - _F32(2.0) * c1[:d] + c2[:d]
+    mem_id_next = idx0 + 1
+    mem_id_next = jnp.where(mem_id_next == CEPS_MEM, jnp.int32(0), mem_id_next)
+
+    f_spec = _spectral_variability(new_ceps_mem)
+
+    features = jnp.concatenate(
+        [
+            f_sum,  # [0..6)   sums of last three cepstra
+            ceps[d:NB_BANDS],  # [6..22)  cepstrum tail
+            f_d1,  # [22..28) first delta
+            f_d2,  # [28..34) second delta
+            f_pitch,  # [34..40) pitch-correlation DCT
+            f_period[None],  # [40]
+            f_spec[None],  # [41]
+        ]
+    )
+    assert features.shape == (NB_FEATURES,)
+    features = jnp.where(silence, jnp.zeros((NB_FEATURES,), _F32), features)
+
+    new_state = FeatureState(
+        input_mem=input_mem,
+        hp_mem=hp_mem,
+        cepstral_mem=jnp.where(silence, state.cepstral_mem, new_ceps_mem),
+        mem_id=jnp.where(silence, state.mem_id, mem_id_next),
+        pitch_period=period,
+        pitch_gain=pgain,
+    )
+    return new_state, Analysis(features, x, p, ex, ep, exp, silence, period)
+
+
+def _pitch_filter(x, p, ex, ep, exp, gains):
+    """Pitch comb filter + renormalization (features.rs:223-257)."""
+    g_sq = gains * gains
+    exp_sq = exp * exp
+    r = jnp.where(
+        exp > gains,
+        _F32(1.0),
+        exp_sq * (_F32(1.0) - g_sq) / (_F32(0.001) + g_sq * (_F32(1.0) - exp_sq)),
+    )
+    r = jnp.sqrt(jnp.clip(r, _F32(0.0), _F32(1.0)))
+    r = r * jnp.sqrt(ex / (_F32(1e-8) + ep))
+    rf = interp_band_gain(r)  # (481,)
+    x1 = x + p * rf
+
+    new_e = band_energies(x1)
+    norm = jnp.sqrt(ex / (_F32(1e-8) + new_e))
+    normf = interp_band_gain(norm)
+    return x1 * normf
+
+
+def frame_step(
+    params: dict, meta: ModelMeta, carry: DenoiseCarry, frame: jnp.ndarray
+) -> tuple[DenoiseCarry, jnp.ndarray, jnp.ndarray]:
+    """Process one 480-sample frame for one stream.
+
+    Returns (carry', denoised_frame (480,), vad_prob ()).
+    Input/output are f32 in i16 range ([-32768, 32767]), like the reference.
+    """
+    feat_state, an = analyze_frame(carry.feat, frame)
+    silence = an.silence
+
+    # --- RNN (state masked on silence, denoise.rs:102-112) ------------------
+    rnn_new, gains, vad = rnn_step(params, meta, carry.rnn, an.features)
+    rnn_next = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(silence, old, new), rnn_new, carry.rnn
+    )
+    vad = jnp.where(silence, _F32(0.0), vad)
+
+    # --- pitch comb filter + gain hangover + gain application ----------------
+    x_combed = _pitch_filter(an.x, an.p, an.ex, an.ep, an.exp, gains)
+    g2 = jnp.maximum(gains, _F32(0.6) * carry.lastg)
+    gf = interp_band_gain(g2)
+    x_gained = x_combed * gf
+    x_final = jnp.where(silence, an.x, x_gained)
+    lastg_next = jnp.where(silence, carry.lastg, g2)
+
+    # --- synthesis: irfft + window + overlap-add (features.rs:263-275) -------
+    y = inverse_transform(x_final)  # (960,)
+    out = y[:FRAME_SIZE] + carry.synthesis_mem
+    synthesis_mem = y[FRAME_SIZE:]
+
+    new_carry = DenoiseCarry(
+        feat=feat_state,
+        synthesis_mem=synthesis_mem,
+        rnn=rnn_next,
+        lastg=lastg_next,
+    )
+    return new_carry, out, vad

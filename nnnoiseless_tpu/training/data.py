@@ -1,0 +1,327 @@
+"""Training-data generator: the equivalent of the reference `train` binary.
+
+Mirrors src/training.rs end to end: round-robin WAV readers with random
+seeks, the noise simulator (random gains, random biquads, random lowpass →
+band cutoff, energy-hysteresis VAD), and the 87-column HDF5 output
+``[42 features | 22 gains | 22 noise_level | 1 vad]`` consumed unchanged by
+the trainer (and by the reference's train/rnn_train.py).
+
+TPU-first split: the host side does WAV I/O and the (cheap, random) mixing;
+the three feature pipelines — clean, noise, combined — run as a batch-of-3
+``analyze_frame`` scan on device, chunked to amortize dispatch.
+
+Usage::
+
+    python -m nnnoiseless_tpu.training.data \
+        --signal-glob 'speech/*.wav' --noise-glob 'noise/*.wav' \
+        --count 100000 -o training.h5
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import glob as globlib
+import wave
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (
+    EBAND_5MS,
+    FRAME_SIZE,
+    FRAME_SIZE_SHIFT,
+    FREQ_SIZE,
+    NB_BANDS,
+    NB_FEATURES,
+)
+from ..pipeline import FeatureState, analyze_frame, init_feature_state
+
+GAIN_CHANGE_COUNT = 2821  # frames between re-randomizations (training.rs:17)
+
+
+# --------------------------------------------------------------------------
+# Host side: signal readers + noise simulator
+# --------------------------------------------------------------------------
+
+
+class SignalReader:
+    """Round-robin frame reader over many WAV files (training.rs:171-261).
+
+    Requires 48 kHz 16-bit mono PCM WAVs; takes a random slice of large
+    files so a bounded number of frames per file covers the corpus.
+    """
+
+    def __init__(self, paths: List[str], count: int, rng: np.random.RandomState):
+        if not paths:
+            raise ValueError("cannot read from an empty set of files")
+        self.paths = paths
+        self.frames_per_file = max(count // len(paths) + 1, 100)
+        self.cur_idx = 0
+        self.frames_left = 0
+        self.rng = rng
+        self._samples: np.ndarray | None = None
+        self._pos = 0
+
+    def _open_next(self):
+        if self.cur_idx >= len(self.paths):
+            self.cur_idx = 0
+        path = self.paths[self.cur_idx]
+        with wave.open(path, "rb") as w:
+            if (
+                w.getnchannels() != 1
+                or w.getframerate() != 48_000
+                or w.getsampwidth() != 2
+            ):
+                raise ValueError(f"unsupported wav format in {path} (need 48kHz/16-bit/mono)")
+            n = w.getnframes()
+            num_samples = FRAME_SIZE * self.frames_per_file
+            if n > num_samples:
+                start = self.rng.randint(0, n - num_samples + 1)
+                w.setpos(start)
+                data = w.readframes(num_samples)
+                self.frames_left = self.frames_per_file
+            else:
+                data = w.readframes(n)
+                self.frames_left = n // FRAME_SIZE
+        self._samples = np.frombuffer(data, dtype="<i2").astype(np.float32)
+        self._pos = 0
+        if self.frames_left == 0:
+            self._samples = None
+            self.cur_idx += 1
+
+    def frame(self) -> np.ndarray:
+        while self._samples is None:
+            self._open_next()
+        out = np.zeros(FRAME_SIZE, np.float32)
+        avail = len(self._samples) - self._pos
+        take = min(FRAME_SIZE, avail)
+        out[:take] = self._samples[self._pos : self._pos + take]
+        self._pos += take
+        if take < FRAME_SIZE:
+            self.frames_left = 0
+        if self.frames_left <= 1:
+            self._samples = None
+            self.cur_idx += 1
+        else:
+            self.frames_left -= 1
+        return out
+
+
+def _biquad_np(data: np.ndarray, mem: np.ndarray, a, b) -> np.ndarray:
+    """In-place-style host biquad (training augmentation, util.rs:114-126)."""
+    out = np.empty_like(data)
+    m0, m1 = float(mem[0]), float(mem[1])
+    a0, a1, b0, b1 = float(a[0]), float(a[1]), float(b[0]), float(b[1])
+    for i, x in enumerate(data.astype(np.float64)):
+        y = x + m0
+        m0 = np.float32(m1 + (b0 * x - a0 * y))
+        m1 = np.float32(b1 * x - a1 * y)
+        out[i] = np.float32(y)
+    mem[0], mem[1] = m0, m1
+    return out
+
+
+class NoiseSimulator:
+    """Random gain/filter/lowpass augmentation + VAD (training.rs:263-422)."""
+
+    def __init__(self, signal: SignalReader, noise: SignalReader, rng):
+        self.signal = signal
+        self.noise = noise
+        self.rng = rng
+        self.sig_filter = (np.zeros(2, np.float32), np.zeros(2, np.float32))
+        self.noise_filter = (np.zeros(2, np.float32), np.zeros(2, np.float32))
+        self.vad_count = 0
+        self.gain_change_count = 0
+        self.signal_gain = 1.0
+        self.noise_gain = 1.0
+        self.lowpass = FREQ_SIZE
+        self.band_lp = NB_BANDS - 1
+        self.sig_mem = np.zeros(2, np.float32)
+        self.noise_mem = np.zeros(2, np.float32)
+
+    def _random_filter(self):
+        r = lambda: 0.75 * (self.rng.random_sample() - 0.5)
+        return (
+            np.array([r(), r()], np.float32),
+            np.array([r(), r()], np.float32),
+        )
+
+    def _randomize(self):
+        rng = self.rng
+        self.signal_gain = 10.0 ** (rng.randint(-40, 20) / 20.0)
+        self.noise_gain = 10.0 ** (rng.randint(-20, 20) / 20.0) * self.signal_gain
+        if rng.random_sample() < 0.1:
+            self.signal_gain = 0.0
+        self.sig_filter = self._random_filter()
+        self.noise_filter = self._random_filter()
+        self.lowpass = int(
+            FREQ_SIZE * 3000.0 / 24000.0 * 50.0 ** rng.random_sample()
+        )
+        self.band_lp = next(
+            (
+                i
+                for i, e in enumerate(EBAND_5MS)
+                if (e << FRAME_SIZE_SHIFT) > self.lowpass
+            ),
+            NB_BANDS - 1,
+        )
+
+    def _vad(self, sig_e: float) -> float:
+        if sig_e > 1e9:
+            self.vad_count = 0
+        elif sig_e > 1e8:
+            self.vad_count -= 5
+        elif sig_e > 1e7:
+            self.vad_count += 1
+        else:
+            self.vad_count += 2
+        self.vad_count = min(max(self.vad_count, 0), 15)
+        if self.vad_count >= 10:
+            return 0.0
+        if self.vad_count > 0:
+            return 0.5
+        return 1.0
+
+    def next_frame(self):
+        self.gain_change_count += 1
+        if self.gain_change_count > GAIN_CHANGE_COUNT:
+            self.gain_change_count = 0
+            self._randomize()
+        noise = self.noise.frame() * self.noise_gain
+        sig = self.signal.frame()
+        sig_e = float(np.sum(sig.astype(np.float64) ** 2))
+        sig = sig * self.signal_gain
+
+        sig = _biquad_np(sig, self.sig_mem, self.sig_filter[0], self.sig_filter[1])
+        noise = _biquad_np(
+            noise, self.noise_mem, self.noise_filter[0], self.noise_filter[1]
+        )
+        combined = sig + noise
+        vad = self._vad(sig_e)
+        band_gain_cutoff = (
+            0 if (vad == 0.0 and self.noise_gain == 0.0) else self.band_lp + 1
+        )
+        return sig, noise, combined, band_gain_cutoff, vad
+
+
+# --------------------------------------------------------------------------
+# Device side: batched feature extraction over chunks of frames
+# --------------------------------------------------------------------------
+
+
+@jax.jit
+def _feature_chunk(states: FeatureState, frames: jnp.ndarray):
+    """states batched over 3 pipelines; frames (3, T, 480).
+
+    Returns (states', features (3,T,42), ex (3,T,22), silence (3,T))."""
+
+    def step(s, f):  # f: (3, 480)
+        s2, an = jax.vmap(analyze_frame)(s, f)
+        return s2, (an.features, an.ex, an.silence)
+
+    states, (feats, ex, sil) = jax.lax.scan(
+        step, states, jnp.swapaxes(frames, 0, 1)
+    )
+    return (
+        states,
+        jnp.swapaxes(feats, 0, 1),
+        jnp.swapaxes(ex, 0, 1),
+        jnp.swapaxes(sil, 0, 1),
+    )
+
+
+def generate(
+    signal_paths: List[str],
+    noise_paths: List[str],
+    count: int,
+    seed: int = 0,
+    chunk: int = 512,
+    progress=None,
+) -> np.ndarray:
+    """Generate `count` rows of the 87-column training matrix."""
+    rng = np.random.RandomState(seed)
+    sim = NoiseSimulator(
+        SignalReader(signal_paths, count, rng),
+        SignalReader(noise_paths, count, rng),
+        rng,
+    )
+    states = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (3,) + x.shape), init_feature_state()
+    )
+    width = NB_FEATURES + 2 * NB_BANDS + 1
+    out = np.empty((count, width), np.float32)
+
+    done = 0
+    while done < count:
+        n = min(chunk, count - done)
+        frames = np.empty((3, n, FRAME_SIZE), np.float32)
+        cutoffs = np.empty(n, np.int32)
+        vads = np.empty(n, np.float32)
+        for t in range(n):
+            sig, noise, comb, cutoff, vad = sim.next_frame()
+            frames[0, t] = sig
+            frames[1, t] = noise
+            frames[2, t] = comb
+            cutoffs[t] = cutoff
+            vads[t] = vad
+        states, feats, ex, sil = _feature_chunk(states, jnp.asarray(frames))
+        feats = np.asarray(feats)
+        ex = np.asarray(ex)
+        sil = np.asarray(sil)
+
+        clean_ex, noise_ex, comb_ex = ex[0], ex[1], ex[2]
+        band = np.arange(NB_BANDS)[None, :]
+        cut = np.where(sil[2], 0, cutoffs)[:, None]  # silence -> all sentinel
+        g = np.sqrt((clean_ex + 1e-3) / (comb_ex + 1e-3)).clip(max=1.0)
+        g = np.where((clean_ex < 5e-2) & (comb_ex < 5e-2), -1.0, g)
+        g = np.where(band < cut, g, -1.0)
+        noise_level = np.log10(noise_ex + 1e-2)
+
+        rows = np.concatenate(
+            [feats[2], g, noise_level, vads[:, None]], axis=1
+        ).astype(np.float32)
+        out[done : done + n] = rows
+        done += n
+        if progress:
+            progress(done)
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="Generate denoiser training data")
+    ap.add_argument("--signal-glob", action="append", required=True)
+    ap.add_argument("--noise-glob", action="append", required=True)
+    ap.add_argument("--count", type=int, required=True)
+    ap.add_argument("--shuffle", action="store_true")
+    ap.add_argument("-o", "--output", required=True)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    signal_paths = sorted(p for g in args.signal_glob for p in globlib.glob(g))
+    noise_paths = sorted(p for g in args.noise_glob for p in globlib.glob(g))
+    if args.shuffle:
+        rng = np.random.RandomState(args.seed)
+        rng.shuffle(signal_paths)
+        rng.shuffle(noise_paths)
+    print(f"{len(signal_paths)} clean files, {len(noise_paths)} noise files")
+
+    data = generate(
+        signal_paths,
+        noise_paths,
+        args.count,
+        seed=args.seed,
+        progress=lambda n: print(f"{n}\r", end="", flush=True),
+    )
+
+    import h5py
+
+    with h5py.File(args.output, "w") as f:
+        f.create_dataset("data", data=data)
+    print(f"\nwrote {args.output} ({data.shape[0]} x {data.shape[1]})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,198 @@
+"""Training loop: optax Adam + weight clipping, data-parallel over a mesh.
+
+Equivalent of train/rnn_train.py (same topology, losses, loss weights,
+sequence length 2000, batch 32, sample reweighting by mean gain tertile),
+rebuilt for TPU: the train step is one jitted program whose batch axis is
+sharded over the ``"dp"`` mesh axis; gradients are averaged by the psum XLA
+inserts for the replicated-parameter/sharded-batch layout.
+
+Usage::
+
+    python -m nnnoiseless_tpu.training.train --data training.h5 \
+        --epochs 20 --out weights.rnn
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..constants import NB_BANDS, NB_FEATURES
+from ..model import ModelMeta, RnnModel
+from .losses import total_loss
+from .network import (
+    DEFAULT_META,
+    clip_params,
+    export_model,
+    init_train_params,
+    sequence_forward,
+)
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def make_optimizer(learning_rate: float = 1e-3) -> optax.GradientTransformation:
+    return optax.adam(learning_rate)
+
+
+def init_train_state(
+    key, meta: ModelMeta = DEFAULT_META, learning_rate: float = 1e-3
+) -> TrainState:
+    params = init_train_params(key, meta)
+    opt = make_optimizer(learning_rate)
+    return TrainState(params, opt.init(params), jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4), donate_argnums=(0,))
+def train_step(
+    state: TrainState,
+    batch: dict,
+    sample_weight: Optional[jnp.ndarray],
+    meta: ModelMeta,
+    learning_rate: float,
+):
+    """One SGD step on a batch {features (B,T,42), gains (B,T,22), vad (B,T,1)}.
+
+    Pure and shardable: with the batch sharded over "dp" and params
+    replicated, XLA inserts the gradient all-reduce automatically.
+    """
+
+    def loss_fn(params):
+        gains_pred, vad_pred = sequence_forward(params, batch["features"], meta)
+        return total_loss(
+            batch["gains"], gains_pred, batch["vad"], vad_pred, sample_weight
+        )
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    opt = make_optimizer(learning_rate)
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    params = clip_params(params)  # Keras WeightClip(0.499) constraint
+    return TrainState(params, opt_state, state.step + 1), loss
+
+
+def compute_sample_weights(gains: np.ndarray) -> np.ndarray:
+    """Tertile reweighting by per-sequence mean gain (rnn_train.py:108-118)."""
+    y = gains.reshape(gains.shape[0], -1)
+    masked = np.ma.masked_equal(y, -1.0)
+    means = masked.mean(axis=1).filled(np.nan)
+    hi = means > 2 / 3
+    lo = means < 1 / 3
+    med = ~hi & ~lo & ~np.isnan(means)
+    total = np.sum(~np.isnan(means))
+    w = np.zeros(len(means))
+    for m in (hi, med, lo):
+        n = max(m.sum(), 1)
+        w += m * (total / n)
+    return (w / 3.0).astype(np.float32)
+
+
+def load_h5(path: str, window: int = 2000):
+    """Load the 87-column HDF5 produced by the data generator.
+
+    Layout per row: 42 features | 22 gains | 22 noise levels | 1 vad
+    (reference src/training.rs:90-94, 155-159).
+    """
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        data = np.asarray(f["data"], np.float32)
+    n_seq = len(data) // window
+    data = data[: n_seq * window]
+    features = data[:, :NB_FEATURES].reshape(n_seq, window, NB_FEATURES)
+    gains = data[:, NB_FEATURES : NB_FEATURES + NB_BANDS].reshape(n_seq, window, NB_BANDS)
+    vad = data[:, NB_FEATURES + 2 * NB_BANDS :].reshape(n_seq, window, 1)
+    return features, gains, vad
+
+
+def fit(
+    features: np.ndarray,
+    gains: np.ndarray,
+    vad: np.ndarray,
+    *,
+    epochs: int = 20,
+    batch_size: int = 32,
+    learning_rate: float = 1e-3,
+    seed: int = 0,
+    meta: ModelMeta = DEFAULT_META,
+    mesh: Optional[Mesh] = None,
+    log_every: int = 10,
+) -> dict:
+    """Train and return float params."""
+    key = jax.random.PRNGKey(seed)
+    state = init_train_state(key, meta, learning_rate)
+    weights = compute_sample_weights(gains)
+    n = len(features)
+    rng = np.random.RandomState(seed)
+
+    if mesh is not None:
+        batch_sharding = NamedSharding(mesh, P("dp"))
+        rep = NamedSharding(mesh, P())
+        state = jax.device_put(state, rep)
+    else:
+        batch_sharding = None
+
+    step = 0
+    for epoch in range(epochs):
+        perm = rng.permutation(n)
+        for i in range(0, n - batch_size + 1, batch_size):
+            idx = perm[i : i + batch_size]
+            batch = {
+                "features": jnp.asarray(features[idx]),
+                "gains": jnp.asarray(gains[idx]),
+                "vad": jnp.asarray(vad[idx]),
+            }
+            sw = jnp.broadcast_to(
+                jnp.asarray(weights[idx])[:, None], batch["vad"].shape[:2]
+            )
+            if batch_sharding is not None:
+                batch = jax.device_put(batch, batch_sharding)
+                sw = jax.device_put(sw, batch_sharding)
+            state, loss = train_step(state, batch, sw, meta, learning_rate)
+            if step % log_every == 0:
+                print(f"epoch {epoch} step {step} loss {float(loss):.5f}")
+            step += 1
+    return jax.device_get(state.params)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="Train a denoise model")
+    ap.add_argument("--data", required=True, help="training.h5 (87-col schema)")
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--window", type=int, default=2000)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--out", default="weights.rnn")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    features, gains, vad = load_h5(args.data, args.window)
+    print(f"{len(features)} sequences of {args.window} frames")
+    params = fit(
+        features,
+        gains,
+        vad,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        learning_rate=args.lr,
+        seed=args.seed,
+    )
+    model = export_model(params)
+    with open(args.out, "wb") as f:
+        f.write(model.to_bytes())
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Batched-execution equivalence: the stream axis must be truly independent."""
+
+import numpy as np
+
+from nnnoiseless_tpu import (
+    FRAME_SIZE,
+    StreamBatch,
+    denoise_audio,
+    init_batch_carry,
+    process_frames,
+)
+
+
+def test_batch_of_identical_streams(testing_raw, default_model):
+    n_frames = 12
+    sig = testing_raw[: n_frames * FRAME_SIZE]
+    frames = sig.reshape(1, n_frames, FRAME_SIZE)
+    batch4 = np.broadcast_to(frames, (4, n_frames, FRAME_SIZE))
+
+    c1 = init_batch_carry(default_model.meta, 1)
+    c4 = init_batch_carry(default_model.meta, 4)
+    _, out1, vad1 = process_frames(default_model, c1, frames)
+    _, out4, vad4 = process_frames(default_model, c4, batch4)
+    out1, out4 = np.asarray(out1), np.asarray(out4)
+    # Identical streams must agree to float tolerance (XLA does not promise
+    # bitwise lane uniformity inside a scanned batched program) and the
+    # batch-4 program must match the batch-1 program.
+    for b in range(1, 4):
+        np.testing.assert_allclose(out4[b], out4[0], atol=5e-3, rtol=1e-5)
+    np.testing.assert_allclose(out4[0], out1[0], atol=5e-3, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(vad4), np.broadcast_to(np.asarray(vad1), (4, n_frames)), atol=1e-5
+    )
+
+
+def test_batch_of_distinct_streams(testing_raw, default_model):
+    n_frames = 10
+    rng = np.random.RandomState(0)
+    streams = np.stack(
+        [
+            testing_raw[: n_frames * FRAME_SIZE],
+            (rng.randn(n_frames * FRAME_SIZE) * 3000).astype(np.float32),
+            np.zeros(n_frames * FRAME_SIZE, np.float32),  # exercises silence gate
+        ]
+    )
+    batched = denoise_audio(streams, default_model, drop_first_frame=False)
+    for b in range(3):
+        single = denoise_audio(streams[b], default_model, drop_first_frame=False)
+        np.testing.assert_allclose(batched[b], single, atol=5e-3, rtol=1e-5)
+
+
+def test_silence_stream_outputs_near_zero(default_model):
+    out = denoise_audio(np.zeros(6 * FRAME_SIZE, np.float32), default_model)
+    np.testing.assert_allclose(out, 0.0, atol=1e-3)
+
+
+def test_stream_batch_api(default_model):
+    rng = np.random.RandomState(1)
+    frames = (rng.randn(2, 5, FRAME_SIZE) * 1000).astype(np.float32)
+    sb = StreamBatch(batch=2, model=default_model)
+    out_a, vad_a = sb.process(frames[:, :3])
+    out_b, vad_b = sb.process(frames[:, 3:])
+    sb.reset()
+    out_full, vad_full = sb.process(frames)
+    np.testing.assert_allclose(
+        np.concatenate([out_a, out_b], axis=1), out_full, atol=1e-3
+    )

@@ -1,0 +1,52 @@
+"""Golden end-to-end regression against the reference output.
+
+Mirrors the reference's primary correctness oracle (src/lib.rs:184-213):
+feed test_data/testing.raw frame-by-frame, drop the first output frame, cast
+to i16, and require relative squared error diff/xx < 1e-4 against
+test_data/reference_output.raw.
+"""
+
+import numpy as np
+
+from nnnoiseless_tpu import FRAME_SIZE, denoise_audio
+
+
+def relative_sq_error(output_f32: np.ndarray, reference_i16: np.ndarray) -> float:
+    assert output_f32.shape == reference_i16.shape
+    out = output_f32.astype(np.int16)  # same trunc-toward-zero cast as Rust `as i16`
+    xx = np.sum(out.astype(np.float64) ** 2)
+    diff = np.sum((reference_i16.astype(np.float64) - out.astype(np.float64)) ** 2)
+    return diff / xx
+
+
+def test_compare_to_reference(testing_raw, reference_output):
+    out = denoise_audio(testing_raw, drop_first_frame=True)
+    assert out.shape[0] == reference_output.shape[0]
+    err = relative_sq_error(out, reference_output)
+    print(f"golden relative squared error: {err:.3e}")
+    assert err < 1e-4
+
+
+def test_chunked_equals_oneshot(testing_raw, default_model):
+    """Chunked/per-frame processing must match one scanned pass.
+
+    Not bit-exact: the standalone frame_step and the scanned one compile to
+    differently-fused XLA programs; tolerance is ~1e-3 in the i16 domain.
+    """
+    from nnnoiseless_tpu import DenoiseState
+
+    n_frames = 20
+    sig = testing_raw[: n_frames * FRAME_SIZE]
+    one = denoise_audio(sig, drop_first_frame=False)
+
+    st = DenoiseState(default_model)
+    parts = []
+    frames = sig.reshape(n_frames, FRAME_SIZE)
+    out1, _ = st.process_chunk(frames[:7])
+    out2, _ = st.process_chunk(frames[7:15])
+    parts = [out1.reshape(-1), out2.reshape(-1)]
+    for f in frames[15:]:
+        o, _ = st.process_frame(f)
+        parts.append(o)
+    chunked = np.concatenate(parts)
+    np.testing.assert_allclose(chunked, one, atol=5e-3, rtol=1e-5)

@@ -1,0 +1,241 @@
+"""Unit tests for the DSP/NN primitive ops against independent oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nnnoiseless_tpu.ops.activations import relu, sigmoid_approx, tansig_approx
+from nnnoiseless_tpu.ops.bands import band_corr, dct22, interp_band_gain
+from nnnoiseless_tpu.ops.biquad import biquad_filter
+from nnnoiseless_tpu.ops.fft import forward_transform, inverse_transform
+from nnnoiseless_tpu.ops.pitch import (
+    autocorr5,
+    downsample_2x,
+    find_best_pitch,
+    lpc4,
+    sliding_dot,
+)
+from nnnoiseless_tpu.tables import (
+    BIQUAD_HP_A,
+    BIQUAD_HP_B,
+    TANSIG_TABLE,
+    VORBIS_WINDOW,
+    WNORM,
+)
+
+
+def _tansig_scalar(x: float) -> float:
+    """Scalar oracle of the reference's tansig_approx (util.rs:29-45)."""
+    f = np.float32
+    x = f(x)
+    if not (x < 8.0):
+        return 1.0
+    if not (x > -8.0):
+        return -1.0
+    sign = 1.0
+    if x < 0.0:
+        x, sign = -x, -1.0
+    i = np.floor(f(0.5) + f(25.0) * x)
+    x = f(x - f(0.04) * i)
+    y = TANSIG_TABLE[int(i)]
+    dy = f(1.0) - f(y * y)
+    y = f(y + f(f(x * dy) * f(f(1.0) - f(y * x))))
+    return float(sign * y)
+
+
+def test_tansig_matches_scalar_oracle():
+    xs = np.concatenate(
+        [
+            np.linspace(-10, 10, 2001),
+            np.array([0.0, -0.0, 7.999, -7.999, 8.0, -8.0, np.nan, np.inf, -np.inf]),
+        ]
+    ).astype(np.float32)
+    got = np.asarray(jax.jit(tansig_approx)(xs))
+    want = np.array([_tansig_scalar(float(x)) for x in xs], np.float32)
+    np.testing.assert_allclose(got, want, atol=2e-7)
+
+
+def test_tansig_close_to_tanh():
+    xs = np.linspace(-5, 5, 101).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(tansig_approx(xs)), np.tanh(xs), atol=1e-5)
+
+
+def test_sigmoid_relu():
+    xs = np.linspace(-20, 20, 101).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(sigmoid_approx(xs)), 1 / (1 + np.exp(-xs.astype(np.float64))), atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(relu(xs)), np.maximum(xs, 0))
+
+
+def test_biquad_matches_f64_oracle():
+    rng = np.random.RandomState(0)
+    x = (rng.randn(4 * 480) * 10000).astype(np.float32)
+    a = BIQUAD_HP_A.astype(np.float64)
+    b = BIQUAD_HP_B.astype(np.float64)
+    mem = np.zeros(2, np.float64)
+    want = np.empty_like(x)
+    for i, xn in enumerate(x.astype(np.float64)):
+        y = xn + mem[0]
+        mem0 = mem[1] + (b[0] * xn - a[0] * y)
+        mem1 = b[1] * xn - a[1] * y
+        mem = np.array([np.float32(mem0), np.float32(mem1)], np.float64)
+        want[i] = np.float32(y)
+    got, _ = jax.jit(
+        lambda x, m: biquad_filter(x, m, jnp.asarray(BIQUAD_HP_A), jnp.asarray(BIQUAD_HP_B))
+    )(x, jnp.zeros(2, jnp.float32))
+    # f32 arithmetic vs the reference's f64 inner math: bounded drift (the
+    # reference itself rounds its state to f32 every sample; ~1.0 absolute on
+    # i16-scale signals is ~3e-5 relative)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1.5)
+    # chunked == one-shot (state carry correctness); tiny tolerance since
+    # different chunk lengths compile to separate XLA programs
+    jf = jax.jit(
+        lambda x, m: biquad_filter(x, m, jnp.asarray(BIQUAD_HP_A), jnp.asarray(BIQUAD_HP_B))
+    )
+    g1, m1 = jf(jnp.asarray(x[:480]), jnp.zeros(2, jnp.float32))
+    g2, _ = jf(jnp.asarray(x[480:]), m1)
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(g1), np.asarray(g2)]), np.asarray(got), atol=1e-2
+    )
+
+
+def test_band_corr_matches_loop():
+    from nnnoiseless_tpu.constants import EBAND_5MS, FREQ_SIZE, NB_BANDS
+
+    rng = np.random.RandomState(1)
+    x = (rng.randn(FREQ_SIZE) + 1j * rng.randn(FREQ_SIZE)).astype(np.complex64)
+    p = (rng.randn(FREQ_SIZE) + 1j * rng.randn(FREQ_SIZE)).astype(np.complex64)
+    want = np.zeros(NB_BANDS)
+    for i in range(NB_BANDS - 1):
+        size = (EBAND_5MS[i + 1] - EBAND_5MS[i]) * 4
+        for j in range(size):
+            frac = j / size
+            idx = EBAND_5MS[i] * 4 + j
+            c = x[idx].real * p[idx].real + x[idx].imag * p[idx].imag
+            want[i] += (1 - frac) * c
+            want[i + 1] += frac * c
+    want[0] *= 2
+    want[-1] *= 2
+    got = np.asarray(band_corr(jnp.asarray(x), jnp.asarray(p)))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4)
+
+
+def test_interp_band_gain_matches_loop():
+    from nnnoiseless_tpu.constants import EBAND_5MS, FREQ_SIZE, NB_BANDS
+
+    rng = np.random.RandomState(2)
+    g = rng.rand(NB_BANDS).astype(np.float32)
+    want = np.zeros(FREQ_SIZE, np.float32)
+    for i in range(NB_BANDS - 1):
+        size = (EBAND_5MS[i + 1] - EBAND_5MS[i]) * 4
+        for j in range(size):
+            frac = j / size
+            want[EBAND_5MS[i] * 4 + j] = (1 - frac) * g[i] + frac * g[i + 1]
+    got = np.asarray(interp_band_gain(jnp.asarray(g)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_dct22_matches_direct():
+    rng = np.random.RandomState(3)
+    x = rng.randn(22).astype(np.float32)
+    want = np.zeros(22)
+    for i in range(22):
+        s = 0.0
+        for j in range(22):
+            t = np.cos((j + 0.5) * i * np.pi / 22)
+            if i == 0:
+                t *= np.sqrt(0.5)
+            s += x[j] * t
+        want[i] = s * np.sqrt(2 / 22)
+    got = np.asarray(dct22(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_fft_roundtrip():
+    rng = np.random.RandomState(4)
+    frame = (rng.randn(960) * 1000).astype(np.float32)
+    spec = forward_transform(jnp.asarray(frame))
+    assert spec.shape == (481,)
+    back = np.asarray(inverse_transform(spec))
+    # forward includes *wnorm and window; inverse includes *480 and window:
+    # net round-trip = frame * window^2 * wnorm * 960/2... verify against direct
+    w = VORBIS_WINDOW
+    expected = (
+        np.fft.irfft(np.fft.rfft(frame * w) * WNORM, 960) * 480 * w
+    )
+    np.testing.assert_allclose(back, expected, atol=1e-2)
+
+
+def test_downsample_and_autocorr():
+    rng = np.random.RandomState(5)
+    x = rng.randn(1728).astype(np.float32)
+    ds = np.asarray(downsample_2x(jnp.asarray(x)))
+    want = np.empty(864, np.float32)
+    want[0] = (x[1] / 2 + x[0]) / 2
+    for i in range(1, 864):
+        want[i] = ((x[2 * i - 1] + x[2 * i + 1]) / 2 + x[2 * i]) / 2
+    np.testing.assert_allclose(ds, want, atol=1e-6)
+
+    ac = np.asarray(autocorr5(jnp.asarray(ds)))
+    for k in range(5):
+        np.testing.assert_allclose(
+            ac[k], np.dot(ds[: 864 - k].astype(np.float64), ds[k:].astype(np.float64)),
+            rtol=1e-5,
+        )
+
+
+def test_lpc_whitens():
+    # LPC of an AR(1) process should approximately invert it
+    rng = np.random.RandomState(6)
+    n = 864
+    e = rng.randn(n).astype(np.float32)
+    x = np.empty(n, np.float32)
+    acc = 0.0
+    for i in range(n):
+        acc = 0.9 * acc + e[i]
+        x[i] = acc
+    ac = autocorr5(jnp.asarray(x))
+    ac = ac.at[0].multiply(1.0001)
+    c = np.asarray(lpc4(ac))
+    # first coefficient should be close to -0.9 (predictor x[t] ~ 0.9 x[t-1])
+    assert abs(c[0] + 0.9) < 0.05
+
+
+def test_lpc_zero_input():
+    c = np.asarray(lpc4(jnp.zeros(5)))
+    np.testing.assert_array_equal(c, 0.0)
+
+
+def test_sliding_dot():
+    rng = np.random.RandomState(7)
+    x = rng.randn(240).astype(np.float32)
+    y = rng.randn(387).astype(np.float32)
+    got = np.asarray(sliding_dot(jnp.asarray(x), jnp.asarray(y), 147))
+    want = np.array(
+        [np.dot(x.astype(np.float64), y[i : i + 240].astype(np.float64)) for i in range(147)]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_find_best_pitch_simple():
+    # A strong periodic signal: the best lag must win over the runner-up.
+    n = 387
+    t = np.arange(n)
+    y = np.sin(2 * np.pi * t / 50).astype(np.float32)
+    x = y[100 : 100 + 240]
+    xc = np.asarray(sliding_dot(jnp.asarray(x), jnp.asarray(y), 147))
+    best, second = jax.jit(lambda a, b: find_best_pitch(a, b, 240))(
+        jnp.asarray(xc), jnp.asarray(y)
+    )
+    assert int(best) % 50 == 0
+    assert int(second) != int(best)
+
+
+def test_find_best_pitch_all_nonpositive():
+    # No positive correlations: reference returns initial (0, 1).
+    xc = -np.ones(147, np.float32)
+    y = np.ones(387, np.float32)
+    best, second = find_best_pitch(jnp.asarray(xc), jnp.asarray(y), 240)
+    assert int(best) == 0 and int(second) == 1
