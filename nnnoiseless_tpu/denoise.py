@@ -30,19 +30,39 @@ from .pipeline import DenoiseCarry, frame_step, init_carry
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def _frame_step_jit(params, meta: ModelMeta, carry: DenoiseCarry, frame):
-    return frame_step(params, meta, carry, frame)
+    """Single frame for one stream, routed through the batched step.
+
+    The scalar (unbatched) program is pathological for the TPU compiler
+    (hundreds of seconds of compile time for the same math); a B=1 vmap
+    keeps every op >= 2-D and compiles in seconds with identical results.
+    """
+    c1 = jax.tree_util.tree_map(lambda x: x[None], carry)
+    c2, out, vad = jax.vmap(lambda ci, fi: frame_step(params, meta, ci, fi))(
+        c1, frame[None]
+    )
+    return jax.tree_util.tree_map(lambda x: x[0], c2), out[0], vad[0]
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def _process_chunk(params, meta: ModelMeta, carry: DenoiseCarry, frames):
-    """Single stream: frames (T, 480) -> (carry', out (T, 480), vad (T,))."""
+    """Single stream: frames (T, 480) -> (carry', out (T, 480), vad (T,)).
 
-    def step(c, f):
-        c2, out, vad = frame_step(params, meta, c, f)
+    Routed through the batched scan at B=1 (see _frame_step_jit).
+    """
+    c1 = jax.tree_util.tree_map(lambda x: x[None], carry)
+    c2, out, vad = _scan_batch(params, meta, c1, frames[None])
+    return jax.tree_util.tree_map(lambda x: x[0], c2), out[0], vad[0]
+
+
+def _scan_batch(params, meta: ModelMeta, carry, frames):
+    """frames (B, T, 480) -> (carry', out (B, T, 480), vad (B, T))."""
+
+    def step(c, f):  # f: (B, 480)
+        c2, out, vad = jax.vmap(lambda ci, fi: frame_step(params, meta, ci, fi))(c, f)
         return c2, (out, vad)
 
-    carry, (out, vad) = jax.lax.scan(step, carry, frames)
-    return carry, out, vad
+    carry, (out, vad) = jax.lax.scan(step, carry, jnp.swapaxes(frames, 0, 1))
+    return carry, jnp.swapaxes(out, 0, 1), jnp.swapaxes(vad, 0, 1)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -53,13 +73,7 @@ def _process_chunk_batch(params, meta: ModelMeta, carry, frames):
     stream axis is vmapped inside each step so every per-frame op sees the
     full batch and keeps the MXU/VPU busy.
     """
-
-    def step(c, f):  # f: (B, 480)
-        c2, out, vad = jax.vmap(lambda ci, fi: frame_step(params, meta, ci, fi))(c, f)
-        return c2, (out, vad)
-
-    carry, (out, vad) = jax.lax.scan(step, carry, jnp.swapaxes(frames, 0, 1))
-    return carry, jnp.swapaxes(out, 0, 1), jnp.swapaxes(vad, 0, 1)
+    return _scan_batch(params, meta, carry, frames)
 
 
 def init_batch_carry(meta: ModelMeta, batch: int) -> DenoiseCarry:

@@ -20,18 +20,20 @@ _DCT = jnp.asarray(DCT_TABLE)  # (22, 22), [i, j] = cos((i+0.5) j pi/22)
 
 
 def band_corr(x: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
-    """Per-band correlation of two complex spectra (..., 481) -> (..., 22).
+    """Per-band correlation of two packed spectra (..., 2, 481) -> (..., 22).
 
-    Equivalent to the reference's compute_band_corr (lib.rs:65-82) including
-    the x2 weighting of the first and last band (baked into the matrix).
+    Spectra are packed real tensors (index 0 = real, 1 = imag; see
+    ops/fft.py).  Equivalent to the reference's compute_band_corr
+    (lib.rs:65-82) including the x2 weighting of the first and last band
+    (baked into the matrix).
     """
-    corr = x.real * p.real + x.imag * p.imag  # (..., 481)
+    corr = jnp.sum(x * p, axis=-2)  # re*re + im*im, (..., 481)
     return matmul(corr, _CORR.T)
 
 
 def band_energies(x: jnp.ndarray) -> jnp.ndarray:
-    """Band energies of a complex spectrum: band_corr(x, x)."""
-    power = x.real * x.real + x.imag * x.imag
+    """Band energies of a packed (..., 2, 481) spectrum: band_corr(x, x)."""
+    power = jnp.sum(x * x, axis=-2)
     return matmul(power, _CORR.T)
 
 

@@ -67,8 +67,8 @@ class Analysis(NamedTuple):
     """Per-frame analysis products consumed by the denoising tail / trainer."""
 
     features: jnp.ndarray  # (42,) the NN input (zeroed when silent)
-    x: jnp.ndarray  # (481,) complex spectrum of the frame
-    p: jnp.ndarray  # (481,) complex spectrum at the pitch lag
+    x: jnp.ndarray  # (2, 481) packed spectrum of the frame (re, im)
+    p: jnp.ndarray  # (2, 481) packed spectrum at the pitch lag
     ex: jnp.ndarray  # (22,) band energies of x
     ep: jnp.ndarray  # (22,) band energies of p
     exp: jnp.ndarray  # (22,) normalized band correlation x<->p
@@ -235,12 +235,12 @@ def _pitch_filter(x, p, ex, ep, exp, gains):
     r = jnp.sqrt(jnp.clip(r, _F32(0.0), _F32(1.0)))
     r = r * jnp.sqrt(ex / (_F32(1e-8) + ep))
     rf = interp_band_gain(r)  # (481,)
-    x1 = x + p * rf
+    x1 = x + p * rf[None, :]
 
     new_e = band_energies(x1)
     norm = jnp.sqrt(ex / (_F32(1e-8) + new_e))
     normf = interp_band_gain(norm)
-    return x1 * normf
+    return x1 * normf[None, :]
 
 
 def frame_step(
@@ -265,7 +265,7 @@ def frame_step(
     x_combed = _pitch_filter(an.x, an.p, an.ex, an.ep, an.exp, gains)
     g2 = jnp.maximum(gains, _F32(0.6) * carry.lastg)
     gf = interp_band_gain(g2)
-    x_gained = x_combed * gf
+    x_gained = x_combed * gf[None, :]
     x_final = jnp.where(silence, an.x, x_gained)
     lastg_next = jnp.where(silence, carry.lastg, g2)
 

@@ -105,15 +105,15 @@ def test_band_corr_matches_loop():
     from nnnoiseless_tpu.constants import EBAND_5MS, FREQ_SIZE, NB_BANDS
 
     rng = np.random.RandomState(1)
-    x = (rng.randn(FREQ_SIZE) + 1j * rng.randn(FREQ_SIZE)).astype(np.complex64)
-    p = (rng.randn(FREQ_SIZE) + 1j * rng.randn(FREQ_SIZE)).astype(np.complex64)
+    x = rng.randn(2, FREQ_SIZE).astype(np.float32)  # packed (re, im)
+    p = rng.randn(2, FREQ_SIZE).astype(np.float32)
     want = np.zeros(NB_BANDS)
     for i in range(NB_BANDS - 1):
         size = (EBAND_5MS[i + 1] - EBAND_5MS[i]) * 4
         for j in range(size):
             frac = j / size
             idx = EBAND_5MS[i] * 4 + j
-            c = x[idx].real * p[idx].real + x[idx].imag * p[idx].imag
+            c = x[0, idx] * p[0, idx] + x[1, idx] * p[1, idx]
             want[i] += (1 - frac) * c
             want[i + 1] += frac * c
     want[0] *= 2
@@ -157,11 +157,15 @@ def test_fft_roundtrip():
     rng = np.random.RandomState(4)
     frame = (rng.randn(960) * 1000).astype(np.float32)
     spec = forward_transform(jnp.asarray(frame))
-    assert spec.shape == (481,)
+    assert spec.shape == (2, 481)
+    # packed spectrum must match numpy's rfft of the windowed frame
+    w = VORBIS_WINDOW
+    ref_spec = np.fft.rfft(frame * w) * WNORM
+    np.testing.assert_allclose(np.asarray(spec[0]), ref_spec.real, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(spec[1]), ref_spec.imag, atol=2e-3)
     back = np.asarray(inverse_transform(spec))
     # forward includes *wnorm and window; inverse includes *480 and window:
     # net round-trip = frame * window^2 * wnorm * 960/2... verify against direct
-    w = VORBIS_WINDOW
     expected = (
         np.fft.irfft(np.fft.rfft(frame * w) * WNORM, 960) * 480 * w
     )
