@@ -14,6 +14,20 @@ import jax.numpy as jnp
 from ..tables import TANSIG_TABLE
 
 _TABLE = jnp.asarray(TANSIG_TABLE)
+_GRID = jnp.arange(TANSIG_TABLE.shape[0], dtype=jnp.int32)
+
+
+def _table_lookup(idx: jnp.ndarray) -> jnp.ndarray:
+    """Exact table read as a one-hot select-reduce.
+
+    A plain gather from the 201-entry table is scalar-unit-bound on TPU and
+    dominates the RNN cell's runtime; the equivalent one-hot compare +
+    masked sum runs on the VPU and fuses with the surrounding elementwise
+    ops.  Bit-exact: each product is table_value * {0,1} and exactly one
+    term per lane is nonzero, so summation order cannot change the result.
+    """
+    one_hot = idx[..., None] == _GRID
+    return jnp.sum(jnp.where(one_hot, _TABLE, jnp.float32(0.0)), axis=-1)
 
 
 def tansig_approx(x: jnp.ndarray) -> jnp.ndarray:
@@ -29,7 +43,7 @@ def tansig_approx(x: jnp.ndarray) -> jnp.ndarray:
     ax = jnp.minimum(jnp.abs(jnp.where(jnp.isnan(x), 0.0, x)), jnp.float32(7.99))
     i = jnp.floor(jnp.float32(0.5) + jnp.float32(25.0) * ax)
     frac = ax - jnp.float32(0.04) * i
-    y = _TABLE[i.astype(jnp.int32)]
+    y = _table_lookup(i.astype(jnp.int32))
     dy = jnp.float32(1.0) - y * y
     y = y + frac * dy * (jnp.float32(1.0) - y * frac)
     out = sign * y

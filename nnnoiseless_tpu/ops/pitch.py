@@ -129,13 +129,22 @@ def whiten(x_lp: jnp.ndarray) -> jnp.ndarray:
 def sliding_dot(x: jnp.ndarray, y: jnp.ndarray, n_lags: int) -> jnp.ndarray:
     """xcorr[i] = dot(x, y[i : i+len(x)]) for i in [0, n_lags).
 
-    Dense formulation of pitch_xcorr (pitch.rs:296-363).  Implemented as a
-    gather of y windows + matvec; under vmap this is one batched matmul.
+    Dense formulation of pitch_xcorr (pitch.rs:296-363), expressed as a
+    1-D convolution (XLA convs are correlations — no kernel flip), which
+    lowers onto the MXU.  Under ``vmap`` the batching rule turns this into
+    one grouped conv; unlike a gather-of-windows formulation it never
+    materializes the (B, n_lags, n) window tensor (2.3 GB at B=4096).
     """
     n = x.shape[0]
-    idx = np.arange(n_lags)[:, None] + np.arange(n)[None, :]
-    windows = y[jnp.asarray(idx)]  # (n_lags, n)
-    return matmul(windows, x)
+    out = jax.lax.conv_general_dilated(
+        y[None, None, :],  # (1, 1, m)
+        x[None, None, :],  # (1, 1, n)
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
+    )[0, 0]
+    return out[:n_lags]
 
 
 def find_best_pitch(
@@ -143,54 +152,46 @@ def find_best_pitch(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Top-2 lags maximizing xcorr^2 / ||y[i:i+length]||^2.
 
-    Exact replica of the reference's sequential cross-multiplied comparisons
-    (pitch.rs:372-405) as a scan: candidates need corr > 0; the running
-    window norm is updated and clamped to >= 1 after every lag.
+    The reference (pitch.rs:372-405) runs a sequential loop: a running
+    window norm ``ysn`` updated and clamped to >= 1 after every lag, and a
+    cross-multiplied best/second-best tracker over ``xcorr[i]^2 / ysn_i``
+    restricted to ``xcorr[i] > 0``.
+
+    TPU-first formulation, fully parallel (no scan):
+
+    * the clamped running norm is a max-plus linear recurrence
+      ``u_i = max(u_{i-1} + d_{i-1}, 1)`` whose closed form is
+      ``u_i = max(u_0 + P_i, 1 + P_i - min_{1<=k<=i} P_k)`` with prefix sums
+      ``P`` — one cumsum + one cummin (both log-depth);
+    * the streaming top-2 tracker selects exactly the two largest ratios
+      (earlier lag wins ties), reproduced by a masked double argmax with
+      the reference's sentinel semantics for <2 qualified lags.
+
+    Summation order inside the prefix scans differs from the sequential
+    loop at f32 rounding level; lag decisions on real audio are unaffected
+    (golden oracle + cross-checks vs the sequential native engine).
     """
     n_lags = xcorr.shape[0]
     y2 = y * y
     ysn0 = _F32(1.0) + jnp.sum(y2[:length])
-    y2_out = y2[length : length + n_lags]  # entering the window at lag i
-    y2_in = y2[:n_lags]  # leaving the window at lag i
+    d = y2[length : length + n_lags] - y2[:n_lags]  # post-lag-i norm delta
+    p = jnp.concatenate([jnp.zeros((1,), _F32), jnp.cumsum(d[:-1])])  # (n,)
+    cmin = jax.lax.cummin(p[1:])  # min_{1<=k<=i} P_k, index i-1
+    u_tail = jnp.maximum(ysn0 + p[1:], _F32(1.0) + p[1:] - cmin)
+    u = jnp.concatenate([ysn0[None], u_tail])  # ysn as seen at each lag
 
-    def step(carry, inp):
-        bnum, bden, bpitch, snum, sden, spitch, ysn = carry
-        corr, add, sub, i = inp
-        num = corr * corr
-        qualified = corr > _F32(0.0)
-        beats_second = num * sden > snum * ysn
-        beats_best = num * bden > bnum * ysn
-        take_best = qualified & beats_second & beats_best
-        take_second = qualified & beats_second & ~beats_best
-        new_snum = jnp.where(take_best, bnum, jnp.where(take_second, num, snum))
-        new_sden = jnp.where(take_best, bden, jnp.where(take_second, ysn, sden))
-        new_spitch = jnp.where(take_best, bpitch, jnp.where(take_second, i, spitch))
-        new_bnum = jnp.where(take_best, num, bnum)
-        new_bden = jnp.where(take_best, ysn, bden)
-        new_bpitch = jnp.where(take_best, i, bpitch)
-        new_ysn = jnp.maximum(ysn + add - sub, _F32(1.0))
-        return (
-            new_bnum,
-            new_bden,
-            new_bpitch,
-            new_snum,
-            new_sden,
-            new_spitch,
-            new_ysn,
-        ), None
-
-    init = (
-        _F32(-1.0),
-        _F32(0.0),
-        jnp.int32(0),
-        _F32(-1.0),
-        _F32(0.0),
-        jnp.int32(1),
-        ysn0,
-    )
-    lags = jnp.arange(n_lags, dtype=jnp.int32)
-    (_, _, best, _, _, second, _), _ = jax.lax.scan(
-        step, init, (xcorr, y2_out, y2_in, lags)
+    qualified = xcorr > _F32(0.0)
+    ratio = jnp.where(qualified, (xcorr * xcorr) / u, -jnp.inf)
+    best = jnp.argmax(ratio).astype(jnp.int32)
+    ratio2 = ratio.at[best].set(-jnp.inf)
+    has_second = jnp.any(ratio2 > -jnp.inf)
+    any_q = jnp.any(qualified)
+    second = jnp.where(
+        has_second,
+        jnp.argmax(ratio2).astype(jnp.int32),
+        # one qualified lag -> the demoted initial best (0);
+        # zero qualified -> the initial second sentinel (1).
+        jnp.where(any_q, jnp.int32(0), jnp.int32(1)),
     )
     return best, second
 
@@ -253,11 +254,18 @@ def remove_doubling(
     t0 = jnp.minimum(pitch_idx // 2, max_period - 1)
     prev_period = last_period // 2
 
-    x_tail = jax.lax.dynamic_slice(x, (max_period,), (n,))  # x[384:864]
+    x_tail = x[max_period:]  # x[384:864]
+
+    # All lag correlations in one dense pass: the reference computes ~31
+    # dot products at data-dependent lags (pitch.rs:137-221); per-stream
+    # dynamic-slice windows are gather-bound on TPU (the single hottest
+    # spot of the whole pipeline), while the full 385-lag correlation is
+    # one MXU conv and each lookup is then a scalar index.
+    #   corr_full[s] = dot(x[s : s+480], x_tail),  corr_at(t) = corr_full[384-t]
+    corr_full = sliding_dot(x_tail, x, max_period + 1)  # (385,)
 
     def corr_at(t):
-        win = jax.lax.dynamic_slice(x, (max_period - t,), (n,))
-        return dot(x_tail, win)
+        return corr_full[max_period - t]
 
     xx = dot(x_tail, x_tail)
     xy0 = corr_at(t0)

@@ -18,7 +18,7 @@ combined — without the denoising tail.
 Silence-gate semantics (features.rs:160-166 + denoise.rs:101-112): when the
 total band energy is below 0.04, the reference early-returns before touching
 the cepstral ring or running the RNN.  Here both branches are computed and
-every state update is masked, so a silent frame leaves cepstral_mem, mem_id,
+every state update is masked, so a silent frame leaves the cepstral register,
 the GRU states and lastg untouched and synthesizes the *unfiltered* spectrum.
 """
 
@@ -40,7 +40,7 @@ from .constants import (
 )
 from .model import ModelMeta
 from .ops.bands import band_corr, band_energies, dct22, interp_band_gain
-from .ops.biquad import biquad_filter
+from .ops.biquad import biquad_filter_dense
 from .ops.fft import forward_transform, inverse_transform
 from .ops.pitch import pitch_process
 from .ops.rnn import RnnState, init_rnn_state, rnn_step
@@ -48,17 +48,20 @@ from .tables import BIQUAD_HP_A, BIQUAD_HP_B
 
 _F32 = jnp.float32
 
-_HP_A = jnp.asarray(BIQUAD_HP_A)
-_HP_B = jnp.asarray(BIQUAD_HP_B)
-
 
 class FeatureState(NamedTuple):
-    """Recurrent state of the analysis half (one stream)."""
+    """Recurrent state of the analysis half (one stream).
+
+    The reference keeps the cepstral history as a ring buffer plus an index
+    (features.rs:23-26); here it is a shift register with the newest frame
+    at row 0 — same contents, but updates are uniform tensor ops (concat +
+    select) instead of scattered writes at a data-dependent index, which
+    are gather/scatter-bound on TPU.
+    """
 
     input_mem: jnp.ndarray  # (1728,) rolling input history (HP-filtered)
     hp_mem: jnp.ndarray  # (2,) biquad high-pass state
-    cepstral_mem: jnp.ndarray  # (8, 22) cepstrum ring buffer
-    mem_id: jnp.ndarray  # () int32 ring index
+    cepstral_mem: jnp.ndarray  # (8, 22) cepstrum shift register, newest first
     pitch_period: jnp.ndarray  # () int32
     pitch_gain: jnp.ndarray  # () f32
 
@@ -90,7 +93,6 @@ def init_feature_state() -> FeatureState:
         input_mem=jnp.zeros((PITCH_BUF_SIZE,), _F32),
         hp_mem=jnp.zeros((2,), _F32),
         cepstral_mem=jnp.zeros((CEPS_MEM, NB_BANDS), _F32),
-        mem_id=jnp.int32(0),
         pitch_period=jnp.int32(0),
         pitch_gain=_F32(0.0),
     )
@@ -153,7 +155,11 @@ def analyze_frame(
     frames; input/pitch state updates are unconditional, as in the reference.
     """
     # --- input shift + high-pass (features.rs:97-104) --------------------
-    filtered, hp_mem = biquad_filter(frame, state.hp_mem, _HP_A, _HP_B)
+    # Dense (matmul) formulation of the 480-step biquad recurrence: the
+    # sequential scan is the latency bottleneck of the batched frame step.
+    filtered, hp_mem = biquad_filter_dense(
+        frame, state.hp_mem, tuple(BIQUAD_HP_A), tuple(BIQUAD_HP_B)
+    )
     input_mem = jnp.concatenate([state.input_mem[FRAME_SIZE:], filtered])
 
     # --- analysis at lag 0 -------------------------------------------------
@@ -177,24 +183,19 @@ def analyze_frame(
     ly, e = _log_spectrum(ex)
     silence = e < _F32(0.04)
 
-    # --- cepstrum + ring buffer + deltas (features.rs:167-194) --------------
+    # --- cepstrum + shift register + deltas (features.rs:167-194) -----------
     ceps = dct22(ly)
     ceps = ceps.at[0].add(_F32(-12.0)).at[1].add(_F32(-4.0))
-    idx0 = state.mem_id
-    idx1 = jnp.where(idx0 < 1, idx0 + CEPS_MEM - 1, idx0 - 1)
-    idx2 = jnp.where(idx0 < 2, idx0 + CEPS_MEM - 2, idx0 - 2)
-    new_ceps_mem = jax.lax.dynamic_update_slice(
-        state.cepstral_mem, ceps[None, :], (idx0, jnp.int32(0))
+    new_ceps_mem = jnp.concatenate(
+        [ceps[None, :], state.cepstral_mem[:-1]], axis=0
     )
     c0 = ceps
-    c1 = jax.lax.dynamic_slice(new_ceps_mem, (idx1, jnp.int32(0)), (1, NB_BANDS))[0]
-    c2 = jax.lax.dynamic_slice(new_ceps_mem, (idx2, jnp.int32(0)), (1, NB_BANDS))[0]
+    c1 = new_ceps_mem[1]  # previous frame
+    c2 = new_ceps_mem[2]  # two frames back
     d = NB_DELTA_CEPS
     f_sum = c0[:d] + c1[:d] + c2[:d]
     f_d1 = c0[:d] - c2[:d]
     f_d2 = c0[:d] - _F32(2.0) * c1[:d] + c2[:d]
-    mem_id_next = idx0 + 1
-    mem_id_next = jnp.where(mem_id_next == CEPS_MEM, jnp.int32(0), mem_id_next)
 
     f_spec = _spectral_variability(new_ceps_mem)
 
@@ -216,7 +217,6 @@ def analyze_frame(
         input_mem=input_mem,
         hp_mem=hp_mem,
         cepstral_mem=jnp.where(silence, state.cepstral_mem, new_ceps_mem),
-        mem_id=jnp.where(silence, state.mem_id, mem_id_next),
         pitch_period=period,
         pitch_gain=pgain,
     )

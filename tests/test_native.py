@@ -1,0 +1,79 @@
+"""Native (C++) engine parity tests — the tier-3 analogue of the reference's
+C-API smoke test (SURVEY.md §4.3: Rust CLI vs C demo byte-diff).
+
+The native engine is an independent implementation; we require it to pass
+the same golden oracle as the JAX engine and to agree closely with it.
+"""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from nnnoiseless_tpu import FRAME_SIZE
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("g++") is None and shutil.which("make") is None,
+    reason="no C++ toolchain",
+)
+
+
+@pytest.fixture(scope="module")
+def native():
+    from nnnoiseless_tpu import native as mod
+
+    mod.load_library()
+    return mod
+
+
+def test_frame_size_and_abi(native):
+    lib = native.load_library()
+    assert lib.rnnoise_get_frame_size() == FRAME_SIZE
+    assert lib.rnnoise_get_size() > 0
+    with pytest.raises(ValueError):
+        native.NativeModel(b"junk bytes")
+
+
+def test_native_passes_golden_oracle(native, testing_raw, reference_output):
+    out = native.denoise_audio_native(testing_raw)
+    oi = out.astype(np.int16)
+    xx = np.sum(oi.astype(np.float64) ** 2)
+    diff = np.sum((reference_output.astype(np.float64) - oi) ** 2)
+    assert diff / xx < 1e-4
+
+
+def test_native_matches_jax_engine(native, testing_raw, default_model):
+    """Two independent implementations of the same spec must agree closely."""
+    from nnnoiseless_tpu import denoise_audio
+
+    sig = testing_raw[: 30 * FRAME_SIZE]
+    a = native.denoise_audio_native(sig, drop_first_frame=False)
+    b = denoise_audio(sig, default_model, drop_first_frame=False)
+    corr = np.sum(a.astype(np.float64) * b) / np.sqrt(
+        np.sum(a.astype(np.float64) ** 2) * np.sum(b.astype(np.float64) ** 2)
+    )
+    assert corr > 1 - 1e-6
+
+
+def test_native_custom_model(native, testing_raw):
+    """A converted rnnoise-nu model loads and runs through the C ABI."""
+    from conftest import DATA_DIR
+
+    from nnnoiseless_tpu.model import convert_rnnoise
+
+    data = convert_rnnoise((DATA_DIR / "sh.rnnn").read_text())
+    model = native.NativeModel(bytes(data))
+    st = native.NativeDenoiseState(model)
+    out, vad = st.process_frame(np.zeros(FRAME_SIZE, np.float32))
+    assert out.shape == (FRAME_SIZE,)
+    assert 0.0 <= vad <= 1.0
+
+
+def test_native_reset(native):
+    st = native.NativeDenoiseState()
+    rng = np.random.RandomState(0)
+    frames = (rng.randn(5, FRAME_SIZE) * 3000).astype(np.float32)
+    a, _ = st.process_frames(frames)
+    st.reset()
+    b, _ = st.process_frames(frames)
+    np.testing.assert_array_equal(a, b)

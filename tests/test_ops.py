@@ -243,3 +243,31 @@ def test_find_best_pitch_all_nonpositive():
     y = np.ones(387, np.float32)
     best, second = find_best_pitch(jnp.asarray(xc), jnp.asarray(y), 240)
     assert int(best) == 0 and int(second) == 1
+
+
+def test_biquad_dense_matches_scan():
+    """The unrolled-matmul biquad must match the sequential scan closely,
+    including the carry handoff across chunks."""
+    from nnnoiseless_tpu.ops.biquad import biquad_filter, biquad_filter_dense
+    from nnnoiseless_tpu.tables import BIQUAD_HP_A, BIQUAD_HP_B
+
+    rng = np.random.RandomState(7)
+    x = (rng.randn(960) * 8000).astype(np.float32)
+    a = tuple(float(v) for v in BIQUAD_HP_A)
+    b = tuple(float(v) for v in BIQUAD_HP_B)
+
+    m0 = jnp.zeros(2, jnp.float32)
+    want1, wmem = biquad_filter(jnp.asarray(x[:480]), m0, jnp.asarray(BIQUAD_HP_A), jnp.asarray(BIQUAD_HP_B))
+    want2, _ = biquad_filter(jnp.asarray(x[480:]), wmem, jnp.asarray(BIQUAD_HP_A), jnp.asarray(BIQUAD_HP_B))
+    got1, gmem = biquad_filter_dense(jnp.asarray(x[:480]), m0, a, b)
+    got2, _ = biquad_filter_dense(jnp.asarray(x[480:]), gmem, a, b)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(want1), atol=2.0)
+    np.testing.assert_allclose(np.asarray(gmem), np.asarray(wmem), rtol=1e-3, atol=2.0)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=2.0)
+    # batched
+    xb = (rng.randn(3, 480) * 2000).astype(np.float32)
+    mb = (rng.randn(3, 2) * 10).astype(np.float32)
+    wb, wmb = biquad_filter(jnp.asarray(xb), jnp.asarray(mb), jnp.asarray(BIQUAD_HP_A), jnp.asarray(BIQUAD_HP_B))
+    gb, gmb = biquad_filter_dense(jnp.asarray(xb), jnp.asarray(mb), a, b)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(wb), atol=2.0)
+    np.testing.assert_allclose(np.asarray(gmb), np.asarray(wmb), atol=2.0)

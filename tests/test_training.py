@@ -1,0 +1,157 @@
+"""End-to-end training-path tests: data generator -> HDF5 -> fit -> export.
+
+Mirrors the reference's L8/L9 flow (src/training.rs + train/rnn_train.py +
+train/dump_rnn.py) at toy scale: synthetic speech/noise WAVs through the
+87-column generator, a few optimizer steps, quantized .rnn export, and
+inference with the resulting model.
+"""
+
+import wave
+
+import numpy as np
+import pytest
+
+from nnnoiseless_tpu.constants import FRAME_SIZE, NB_BANDS, NB_FEATURES
+
+
+def _write_wav(path, samples_f32):
+    i16 = np.clip(np.round(samples_f32), -32768, 32767).astype("<i2")
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(48_000)
+        w.writeframes(i16.tobytes())
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """Two tiny 'speech' files (tones) and two noise files."""
+    d = tmp_path_factory.mktemp("corpus")
+    rng = np.random.RandomState(0)
+    n = 48_000  # 1 s each
+    t = np.arange(n) / 48_000.0
+    _write_wav(d / "sig1.wav", np.sin(2 * np.pi * 220 * t) * 6000)
+    _write_wav(d / "sig2.wav", np.sin(2 * np.pi * 550 * t) * 9000 * (t % 0.5 < 0.25))
+    _write_wav(d / "noise1.wav", rng.randn(n) * 2000)
+    _write_wav(d / "noise2.wav", rng.randn(n) * 500)
+    return d
+
+
+def test_data_generator_schema(corpus, tmp_path):
+    """The generator emits the 87-column schema with valid ranges."""
+    from nnnoiseless_tpu.training.data import generate
+
+    count = 300
+    data = generate(
+        [str(corpus / "sig1.wav"), str(corpus / "sig2.wav")],
+        [str(corpus / "noise1.wav"), str(corpus / "noise2.wav")],
+        count,
+        seed=1,
+        chunk=128,
+    )
+    assert data.shape == (count, NB_FEATURES + 2 * NB_BANDS + 1)
+    gains = data[:, NB_FEATURES : NB_FEATURES + NB_BANDS]
+    # gains are in [0, 1] or the -1 sentinel
+    assert np.all((gains >= -1.0) & (gains <= 1.0))
+    vad = data[:, -1]
+    assert set(np.unique(vad)).issubset({0.0, 0.5, 1.0})
+    assert np.all(np.isfinite(data))
+
+    # round-trip through the HDF5 writer/loader
+    import h5py
+
+    from nnnoiseless_tpu.training.train import load_h5
+
+    path = tmp_path / "train.h5"
+    with h5py.File(path, "w") as f:
+        f.create_dataset("data", data=data)
+    feats, g, v = load_h5(str(path), window=100)
+    assert feats.shape == (3, 100, NB_FEATURES)
+    assert g.shape == (3, 100, NB_BANDS)
+    assert v.shape == (3, 100, 1)
+
+
+def test_fit_and_export_roundtrip(corpus):
+    """A few SGD steps reduce the loss; the export loads and denoises."""
+    from nnnoiseless_tpu import RnnModel, denoise_audio
+    from nnnoiseless_tpu.training.data import generate
+    from nnnoiseless_tpu.training.losses import total_loss
+    from nnnoiseless_tpu.training.network import DEFAULT_META, export_model, sequence_forward
+    from nnnoiseless_tpu.training.train import fit, init_train_state, train_step
+
+    import jax
+    import jax.numpy as jnp
+
+    data = generate(
+        [str(corpus / "sig1.wav")], [str(corpus / "noise1.wav")], 240, seed=2
+    )
+    window = 60
+    n_seq = len(data) // window
+    feats = data[:, :NB_FEATURES].reshape(n_seq, window, NB_FEATURES)
+    gains = data[:, NB_FEATURES : NB_FEATURES + NB_BANDS].reshape(
+        n_seq, window, NB_BANDS
+    )
+    vad = data[:, -1:].reshape(n_seq, window, 1)
+
+    # loss must decrease over a handful of steps on this tiny batch
+    state = init_train_state(jax.random.PRNGKey(0))
+    batch = {
+        "features": jnp.asarray(feats),
+        "gains": jnp.asarray(gains),
+        "vad": jnp.asarray(vad),
+    }
+    sw = jnp.ones(batch["vad"].shape[:2], jnp.float32)
+    losses = []
+    for _ in range(8):
+        state, loss = train_step(state, batch, sw, DEFAULT_META, 1e-3)
+        losses.append(float(loss))
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+    # weight-clip constraint holds (rnn_train.py WeightClip(0.499))
+    for layer in state.params.values():
+        for name, arr in layer.items():
+            assert np.max(np.abs(np.asarray(arr))) <= 0.499 + 1e-6, name
+
+    # quantized export parses and runs inference
+    model = export_model(jax.device_get(state.params))
+    data_bytes = model.to_bytes()
+    reloaded = RnnModel.from_bytes(data_bytes)
+    sig = (np.random.RandomState(3).randn(5 * FRAME_SIZE) * 2000).astype(np.float32)
+    out = denoise_audio(sig, reloaded, drop_first_frame=False)
+    assert out.shape == sig.shape
+    assert np.all(np.isfinite(out))
+
+
+def test_losses_match_reference_formulas():
+    """mycost/my_crossentropy semantics of rnn_train.py:33-46 by hand."""
+    import jax.numpy as jnp
+
+    from nnnoiseless_tpu.training.losses import gain_loss, vad_loss
+
+    eps = 1e-7
+    y_true = np.array([[0.25, -1.0, 1.0]])
+    y_pred = np.array([[0.16, 0.5, 0.81]])
+    mask = np.minimum(y_true + 1.0, 1.0)  # 0 on the -1 sentinel
+    d = np.sqrt(np.maximum(y_pred, 0)) - np.sqrt(np.maximum(y_true, 0))
+    p = np.clip(y_pred, eps, 1 - eps)
+    t = np.clip(y_true, 0, 1)
+    bce = -(t * np.log(p) + (1 - t) * np.log(1 - p))
+    want = np.mean(mask * (10 * d**4 + d**2 + 0.01 * bce), axis=-1)
+    got = np.asarray(gain_loss(jnp.asarray(y_true), jnp.asarray(y_pred)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # the sentinel band must contribute exactly zero
+    y_pred2 = y_pred.copy()
+    y_pred2[0, 1] = 0.99
+    got2 = np.asarray(gain_loss(jnp.asarray(y_true), jnp.asarray(y_pred2)))
+    np.testing.assert_allclose(got, got2, rtol=1e-6)
+
+    vt = np.array([[1.0, 0.0, 0.5]])
+    vp = np.array([[0.9, 0.2, 0.7]])
+    p = np.clip(vp, eps, 1 - eps)
+    bce = -(vt * np.log(p) + (1 - vt) * np.log(1 - p))
+    want_v = np.mean(2 * np.abs(vt - 0.5) * bce, axis=-1)
+    got_v = np.asarray(vad_loss(jnp.asarray(vt), jnp.asarray(vp)))
+    np.testing.assert_allclose(got_v, want_v, rtol=1e-5)
+    # a 0.5 (uncertain) VAD label contributes zero weight
+    assert got_v.shape == (1,)
