@@ -1,25 +1,30 @@
-"""Windowed real DFT analysis / synthesis as dense MXU matmuls.
+"""Windowed real DFT analysis / synthesis as MXU matmuls.
 
 The reference runs an unnormalized 960-point real FFT, scales the forward
 transform by ``wnorm = 1/sum(w^2)`` and divides the (unnormalized) inverse
 by 2 (src/features.rs:281-298, 263-275).
 
-TPU-first design: at N=960 an FFT is *not* the right primitive for this
+TPU-first design: at N=960 an FFT op is *not* the right primitive for this
 hardware — XLA's TPU FFT lowering generates an enormous mixed-radix program
-(~170 s of compile time per shape) and runs on the VPU, while a dense DFT is
-a single (B, 960) @ (960, 962) matmul that compiles in milliseconds and
-rides the MXU.  At the pipeline's scale (3 transforms per 10 ms frame) the
-extra FLOPs are negligible against MXU throughput, and the batched matmul
-formulation is strictly faster end to end.
+(minutes of compile time per shape) and runs on the VPU.  Instead the
+transform is a two-stage Cooley-Tukey factorization 960 = 30 x 32 where
+each stage is a dense matmul against a precomputed DFT basis and the
+twiddles are one elementwise complex multiply:
+
+    X[30 d + c] = sum_b  W_960^{bc} ( sum_a x[32 a + b] W_30^{ac} ) W_32^{bd}
+
+That is ~185 KFLOP per frame versus ~1.85 MFLOP for the naive dense DFT —
+batched over streams both stages are (B*32, 30) @ (30, 30)-class MXU
+contractions that compile in milliseconds.
 
 Spectra are packed real tensors of shape ``(..., 2, 481)`` (index 0 = real,
 1 = imaginary part) — the experimental TPU platform has incomplete
 complex64 support, and downstream consumers (band energies, comb filter,
 gain application) only ever need elementwise real arithmetic anyway.
 
-DFT matrices are precomputed in float64 and cast to float32; matmuls run at
-``Precision.HIGHEST`` so forward+inverse round-trips stay well inside the
-reference's 1e-4 relative-error oracle (src/lib.rs:184-194).
+All bases/twiddles are precomputed in float64 and cast to float32; matmuls
+run at ``Precision.HIGHEST`` so forward+inverse round-trips stay well
+inside the reference's 1e-4 relative-error oracle (src/lib.rs:184-194).
 """
 
 from __future__ import annotations
@@ -31,49 +36,88 @@ from ..constants import FREQ_SIZE, WINDOW_SIZE
 from ..tables import VORBIS_WINDOW, WNORM
 from .precision import matmul
 
-
-def _build_dft_matrices() -> tuple[np.ndarray, np.ndarray]:
-    """(960, 962) forward and (962, 960) inverse real-DFT matrices.
-
-    Forward matches ``numpy.fft.rfft``: out[..., 0, k] = sum_n x[n] cos(wkn),
-    out[..., 1, k] = -sum_n x[n] sin(wkn).  Inverse is the unnormalized
-    hermitian inverse divided by 2 (the reference's post-scale,
-    features.rs:265-268): x[n] = sum_k w_k (re_k cos(wkn) - im_k sin(wkn))/2
-    with w_k = 1 for the DC/Nyquist bins and 2 elsewhere.
-    """
-    n = np.arange(WINDOW_SIZE, dtype=np.float64)[:, None]  # (960, 1)
-    k = np.arange(FREQ_SIZE, dtype=np.float64)[None, :]  # (1, 481)
-    ang = 2.0 * np.pi * n * k / WINDOW_SIZE
-    cos, sin = np.cos(ang), np.sin(ang)  # (960, 481)
-    fwd = np.concatenate([cos, -sin], axis=1)  # (960, 962)
-
-    herm = np.full((FREQ_SIZE,), 2.0)
-    herm[0] = herm[-1] = 1.0
-    inv_re = (herm[:, None] * cos.T) * 0.5  # (481, 960)
-    inv_im = (herm[:, None] * -sin.T) * 0.5
-    inv = np.concatenate([inv_re, inv_im], axis=0)  # (962, 960)
-    return fwd.astype(np.float32), inv.astype(np.float32)
+_N1 = 30  # stage-1 length (over index a)
+_N2 = 32  # stage-2 length (over index b)
+assert _N1 * _N2 == WINDOW_SIZE
 
 
-_FWD_DFT, _INV_DFT = _build_dft_matrices()
-_FWD = jnp.asarray(_FWD_DFT)
-_INV = jnp.asarray(_INV_DFT)
+def _bases():
+    a = np.arange(_N1)
+    b = np.arange(_N2)
+    c1 = np.cos(2 * np.pi * np.outer(a, a) / _N1)  # (30, 30), [a, c]
+    s1 = np.sin(2 * np.pi * np.outer(a, a) / _N1)
+    c2 = np.cos(2 * np.pi * np.outer(b, b) / _N2)  # (32, 32), [b, d]
+    s2 = np.sin(2 * np.pi * np.outer(b, b) / _N2)
+    # twiddles W_960^{bc}, laid out [c, b]
+    tw = 2 * np.pi * np.outer(np.arange(_N1), b) / WINDOW_SIZE
+    f32 = lambda m: m.astype(np.float32)
+    return (f32(c1), f32(s1), f32(c2), f32(s2), f32(np.cos(tw)), f32(np.sin(tw)))
+
+
+_C1, _S1, _C2, _S2, _TWC, _TWS = (jnp.asarray(m) for m in _bases())
 _WINDOW = jnp.asarray(VORBIS_WINDOW)  # (960,)
 _WNORM = jnp.float32(WNORM)
 
+# bin k = 30 d + c lives at stage-2 output position [c, d]; build the
+# gather that reorders the (30, 32) grid into natural k order, restricted
+# to the 481 rfft bins.
+_K_TO_CD = np.arange(FREQ_SIZE)
+_FWD_ORDER = jnp.asarray(
+    (_K_TO_CD % _N1) * _N2 + (_K_TO_CD // _N1), dtype=np.int32
+)  # index into flattened [c, d]
+
+# hermitian unfold for the inverse: full[k] = (re[m], +-im[m]) with
+# m = k for k <= 480, m = 960 - k otherwise.
+_UNFOLD = np.minimum(np.arange(WINDOW_SIZE), WINDOW_SIZE - np.arange(WINDOW_SIZE))
+_UNFOLD_IDX = jnp.asarray(_UNFOLD, dtype=np.int32)
+_UNFOLD_SIGN = jnp.asarray(
+    np.where(np.arange(WINDOW_SIZE) <= WINDOW_SIZE // 2, 1.0, -1.0).astype(np.float32)
+)
+
 
 def forward_transform(frame: jnp.ndarray) -> jnp.ndarray:
-    """Window a (..., 960) time frame -> packed (..., 2, 481) spectrum."""
-    windowed = frame * _WINDOW
-    flat = matmul(windowed, _FWD) * _WNORM  # (..., 962)
-    return flat.reshape(flat.shape[:-1] + (2, FREQ_SIZE))
+    """Window a (..., 960) time frame -> packed (..., 2, 481) spectrum.
+
+    Matches ``numpy.fft.rfft(frame * window) * wnorm``.
+    """
+    x = (frame * _WINDOW).reshape(frame.shape[:-1] + (_N1, _N2))  # [a, b]
+    # stage 1 (real input): Y[c, b] = sum_a x[a, b] W30^{ac}
+    yr = jnp.einsum("...ab,ac->...cb", x, _C1, precision="highest")
+    yi = -jnp.einsum("...ab,ac->...cb", x, _S1, precision="highest")
+    # twiddle W960^{bc}
+    zr = yr * _TWC + yi * _TWS
+    zi = yi * _TWC - yr * _TWS
+    # stage 2: X[c, d] = sum_b Z[c, b] W32^{bd}
+    xr = matmul(zr, _C2) + matmul(zi, _S2)
+    xi = matmul(zi, _C2) - matmul(zr, _S2)
+    flat = jnp.stack([xr, xi], axis=-3).reshape(frame.shape[:-1] + (2, _N1 * _N2))
+    return jnp.take(flat, _FWD_ORDER, axis=-1) * _WNORM
 
 
 def inverse_transform(spectrum: jnp.ndarray) -> jnp.ndarray:
     """Packed (..., 2, 481) spectrum -> windowed (..., 960) time frame.
 
-    Includes the reference's /2 post-scale and the synthesis windowing.
+    The unnormalized hermitian inverse DFT divided by 2 (the reference's
+    post-scale), then the synthesis window.
     """
-    flat = spectrum.reshape(spectrum.shape[:-2] + (2 * FREQ_SIZE,))
-    y = matmul(flat, _INV)
-    return y * _WINDOW
+    re = jnp.take(spectrum[..., 0, :], _UNFOLD_IDX, axis=-1)
+    im = jnp.take(spectrum[..., 1, :], _UNFOLD_IDX, axis=-1) * _UNFOLD_SIGN
+    # k = 32 a + b  ->  [a, b]
+    shp = spectrum.shape[:-2] + (_N1, _N2)
+    xr = re.reshape(shp)
+    xi = im.reshape(shp)
+    # stage 1: Y[c, b] = sum_a X[a, b] V30^{ac}   (V = e^{+i...})
+    yr = jnp.einsum("...ab,ac->...cb", xr, _C1, precision="highest") - jnp.einsum(
+        "...ab,ac->...cb", xi, _S1, precision="highest"
+    )
+    yi = jnp.einsum("...ab,ac->...cb", xr, _S1, precision="highest") + jnp.einsum(
+        "...ab,ac->...cb", xi, _C1, precision="highest"
+    )
+    # twiddle V960^{bc}
+    zr = yr * _TWC - yi * _TWS
+    zi = yi * _TWC + yr * _TWS
+    # stage 2, real output only: y[c, d] = Re sum_b Z[c, b] V32^{bd}
+    y_cd = matmul(zr, _C2) - matmul(zi, _S2)
+    # n = 30 d + c: [c, d] -> [d, c] -> flat
+    y = jnp.swapaxes(y_cd, -1, -2).reshape(spectrum.shape[:-2] + (WINDOW_SIZE,))
+    return y * (_WINDOW * jnp.float32(0.5))

@@ -116,6 +116,29 @@ def load_h5(path: str, window: int = 2000):
     return features, gains, vad
 
 
+def save_checkpoint(path, state: TrainState) -> None:
+    """Write an orbax checkpoint of the full training state (mid-training
+    resume — the reference only saves final weights, rnn_train.py:131-135)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            ocp.test_utils.erase_and_create_empty(str(path)) / "state",
+            jax.device_get(state),
+        )
+
+
+def restore_checkpoint(path, template: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+    import pathlib
+
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(
+            pathlib.Path(path).resolve() / "state", jax.device_get(template)
+        )
+    return jax.tree_util.tree_map(jnp.asarray, restored)
+
+
 def fit(
     features: np.ndarray,
     gains: np.ndarray,
@@ -128,10 +151,16 @@ def fit(
     meta: ModelMeta = DEFAULT_META,
     mesh: Optional[Mesh] = None,
     log_every: int = 10,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 500,
+    resume_from: Optional[str] = None,
 ) -> dict:
     """Train and return float params."""
     key = jax.random.PRNGKey(seed)
     state = init_train_state(key, meta, learning_rate)
+    if resume_from:
+        state = restore_checkpoint(resume_from, state)
+        print(f"resumed from {resume_from} at step {int(state.step)}")
     weights = compute_sample_weights(gains)
     n = len(features)
     rng = np.random.RandomState(seed)
@@ -163,6 +192,10 @@ def fit(
             if step % log_every == 0:
                 print(f"epoch {epoch} step {step} loss {float(loss):.5f}")
             step += 1
+            if checkpoint_dir and step % checkpoint_every == 0:
+                save_checkpoint(checkpoint_dir, state)
+    if checkpoint_dir:
+        save_checkpoint(checkpoint_dir, state)
     return jax.device_get(state.params)
 
 
@@ -175,6 +208,9 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out", default="weights.rnn")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--checkpoint-dir", default=None, help="orbax checkpoint dir")
+    ap.add_argument("--checkpoint-every", type=int, default=500)
+    ap.add_argument("--resume", default=None, help="checkpoint dir to resume from")
     args = ap.parse_args(argv)
 
     features, gains, vad = load_h5(args.data, args.window)
@@ -187,6 +223,9 @@ def main(argv=None):
         batch_size=args.batch_size,
         learning_rate=args.lr,
         seed=args.seed,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every,
+        resume_from=args.resume,
     )
     model = export_model(params)
     with open(args.out, "wb") as f:

@@ -77,3 +77,24 @@ def test_native_reset(native):
     st.reset()
     b, _ = st.process_frames(frames)
     np.testing.assert_array_equal(a, b)
+
+
+def test_c_demo_byte_identical_to_python_binding(native, tmp_path, testing_raw):
+    """Build the C demo against rnnoise.h and require byte-identical output
+    with the ctypes path — the analogue of the reference CI's
+    `diff out_rust.raw out_c.raw` smoke test."""
+    import pathlib
+    import subprocess
+
+    native_dir = pathlib.Path(__file__).parent.parent / "native"
+    subprocess.run(["make", "-s", "demo"], cwd=native_dir, check=True)
+    out_c = tmp_path / "out_c.raw"
+    subprocess.run(
+        [str(native_dir / "nnt_demo"), str(native_dir.parent / "tests/data/testing.raw"), str(out_c)],
+        check=True,
+    )
+    got_c = np.fromfile(out_c, dtype="<i2")
+
+    out_py = native.denoise_audio_native(testing_raw)
+    got_py = np.clip(out_py, -32768, 32767).astype(np.int16)
+    np.testing.assert_array_equal(got_c, got_py)

@@ -155,3 +155,26 @@ def test_losses_match_reference_formulas():
     np.testing.assert_allclose(got_v, want_v, rtol=1e-5)
     # a 0.5 (uncertain) VAD label contributes zero weight
     assert got_v.shape == (1,)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """Orbax save/restore of the full TrainState preserves every leaf."""
+    import jax
+    import numpy as np
+
+    from nnnoiseless_tpu.training.train import (
+        init_train_state,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    state = init_train_state(jax.random.PRNGKey(42))
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(ckpt, state)
+    template = init_train_state(jax.random.PRNGKey(0))
+    restored = restore_checkpoint(ckpt, template)
+    flat1, _ = jax.tree_util.tree_flatten(jax.device_get(state))
+    flat2, _ = jax.tree_util.tree_flatten(jax.device_get(restored))
+    assert len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
