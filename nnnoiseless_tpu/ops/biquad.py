@@ -112,7 +112,7 @@ def biquad_filter_dense(
             float(a[0]), float(a[1]), float(b[0]), float(b[1]), n
         )
     )
-    hp = jax.lax.Precision.HIGHEST
+    hp = jax.lax.Precision.HIGH  # 3-pass bf16: ~1e-7 rel err, 2x faster
     y = x + jnp.matmul(x, W, precision=hp) + jnp.matmul(mem, P, precision=hp)
     mem_out = jnp.matmul(x, H, precision=hp) + jnp.matmul(mem, Q, precision=hp)
     return y, mem_out

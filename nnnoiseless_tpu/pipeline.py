@@ -107,13 +107,28 @@ def init_carry(meta: ModelMeta) -> DenoiseCarry:
     )
 
 
+def _window_at_lag(input_mem: jnp.ndarray, lag: jnp.ndarray) -> jnp.ndarray:
+    """input_mem[-(960+lag) : -lag] without a data-dependent gather.
+
+    A vmapped ``dynamic_slice`` at a per-stream lag lowers to an elementwise
+    gather — the hottest single op of the batched pipeline (~4 ms/step at
+    B=4096).  A barrel shifter (10 static shifts + bit-selects on the lag)
+    moves the same window to a fixed position with dense, fusible ops.
+    """
+    y = input_mem
+    for b in range(10):  # lags < 1024 (PITCH_MAX_PERIOD = 768)
+        sh = 1 << b
+        shifted = jnp.concatenate([jnp.zeros((sh,), y.dtype), y[:-sh]])
+        y = jnp.where(((lag >> b) & 1) == 1, shifted, y)
+    return y[PITCH_BUF_SIZE - WINDOW_SIZE :]
+
+
 def _transform_at_lag(input_mem: jnp.ndarray, lag: jnp.ndarray):
     """Window + rFFT + band energies of input_mem[-(960+lag) : -lag].
 
     (reference transform_input, features.rs:281-298)
     """
-    start = PITCH_BUF_SIZE - WINDOW_SIZE - lag
-    frame = jax.lax.dynamic_slice(input_mem, (start,), (WINDOW_SIZE,))
+    frame = _window_at_lag(input_mem, lag)
     spec = forward_transform(frame)
     return spec, band_energies(spec)
 
