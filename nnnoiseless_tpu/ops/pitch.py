@@ -6,15 +6,16 @@ TPU-first re-design of the reference pitch stack (src/pitch.rs):
   five dot products, an unrolled 4-step Levinson recursion and a 6-tap
   convolution — no sequential sample loops;
 * the coarse (147-lag) and fine (294-lag) cross-correlations are dense
-  sliding dots (the reference computes the fine stage sparsely; on TPU the
-  dense matproduct is cheaper than gather-heavy sparsity, and the result is
-  masked back to the reference's candidate set so selection is identical);
-* the normalized top-2 selection (find_best_pitch, pitch.rs:372-405) keeps
-  the reference's exact cross-multiplied comparison chain, expressed as a
-  ``lax.scan`` with scalar carries (vectorized over streams by ``vmap``);
-* remove_doubling's dynamic-lag inner products use ``lax.dynamic_slice``
-  windows; the k=2..15 octave loop is statically unrolled with masked
-  updates, and the early ``break`` becomes a sticky invalid flag.
+  1-D convolutions on the MXU (the reference computes the fine stage
+  sparsely; on TPU the dense product is cheaper than gather-heavy
+  sparsity, and the result is masked back to the reference's candidate
+  set so selection is identical);
+* the normalized top-2 selection (find_best_pitch, pitch.rs:372-405) is a
+  closed-form prefix scan + masked double argmax — no sequential loop;
+* remove_doubling's ~31 dynamic-lag inner products become ONE dense
+  385-lag correlation plus scalar lookups; the k=2..15 octave loop is
+  statically unrolled with masked updates, and the early ``break``
+  becomes a sticky invalid flag.
 
 Everything is a pure function of (input_mem, last_period, last_gain); the
 only cross-frame pitch state is (last_period, last_gain).
@@ -142,7 +143,7 @@ def sliding_dot(x: jnp.ndarray, y: jnp.ndarray, n_lags: int) -> jnp.ndarray:
         window_strides=(1,),
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGH,
     )[0, 0]
     return out[:n_lags]
 

@@ -1,11 +1,10 @@
-"""Full-f32 contraction helpers.
+"""Precision-pinned contraction helpers.
 
-JAX's default matmul/conv precision trades f32 accuracy for speed (bf16-class
-passes on TPU).  The denoise pipeline's decisions (pitch selection, silence
-gate) and its parity oracle require true f32 accumulation, so every
-contraction on the signal path goes through these helpers.  Throughput is
-unaffected at these sizes — the pipeline is latency/bandwidth-bound, not
-FLOP-bound.
+JAX's *default* matmul/conv precision on TPU is single-pass bf16 — far too
+lossy for the denoise pipeline's discrete decisions (pitch selection,
+silence gate) and its 1e-4 parity oracle.  Every contraction on the signal
+path goes through these helpers, pinned to multi-pass bf16 emulation of
+f32.
 """
 
 from __future__ import annotations
@@ -16,10 +15,14 @@ import jax
 import jax.numpy as jnp
 
 HIGHEST = jax.lax.Precision.HIGHEST
+# 3-pass bf16 emulation: ~2^-22 relative error, ~2x the throughput of the
+# 6-pass full-f32 emulation on the MXU.  Validated against the golden
+# oracle on TPU (tests/test_golden.py + the CLI drive in .claude/skills).
+HIGH = jax.lax.Precision.HIGH
 
 dot = functools.partial(jnp.dot, precision=HIGHEST)
-matmul = functools.partial(jnp.matmul, precision=HIGHEST)
+matmul = functools.partial(jnp.matmul, precision=HIGH)
 
 
 def convolve(x, k, mode="full"):
-    return jnp.convolve(x, k, mode=mode, precision=HIGHEST)
+    return jnp.convolve(x, k, mode=mode, precision=HIGH)

@@ -113,3 +113,16 @@ def test_corr_tool(tmp_path):
     assert corr_main([str(a), str(b)]) == 0
     (sig[::-1].copy()).tofile(b)
     assert corr_main([str(a), str(b)]) == 1
+
+
+def test_profile_sine_bench_smoke():
+    """The profiling harness runs and reports sane stats (benches/sin.rs
+    analogue: 1 s of 440 Hz sine through a fresh state)."""
+    from nnnoiseless_tpu.tools.profile import sine_bench, sine_signal
+
+    sig = sine_signal(0.2)
+    assert sig.shape == (9600,) and np.max(np.abs(sig)) <= 16000
+    stats = sine_bench(batch=2, seconds=0.2)
+    assert stats["batch"] == 2 and stats["frames"] == 20
+    assert stats["frames_per_sec"] > 0
+    assert stats["realtime_factor"] > 0

@@ -1,0 +1,63 @@
+"""Multi-chip (device-mesh) data parallelism tests on the virtual 8-device
+CPU platform (conftest forces --xla_force_host_platform_device_count=8).
+
+The stream axis shards over the 1-D "dp" mesh with replicated weights and
+zero hot-path collectives (SURVEY.md §2 parallelism checklist); results
+must match the unsharded engine.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from nnnoiseless_tpu import FRAME_SIZE, init_batch_carry, process_frames
+from nnnoiseless_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    sharded_process_frames,
+)
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def test_sharded_matches_unsharded(testing_raw, default_model):
+    b, t = 16, 6
+    rng = np.random.RandomState(0)
+    frames = np.stack(
+        [
+            (rng.randn(t * FRAME_SIZE) * 2000).astype(np.float32)
+            for _ in range(b)
+        ]
+    ).reshape(b, t, FRAME_SIZE)
+    frames[0] = testing_raw[: t * FRAME_SIZE].reshape(t, FRAME_SIZE)
+
+    mesh = make_mesh(jax.devices()[:8])
+    carry = shard_batch(init_batch_carry(default_model.meta, b), mesh)
+    c2, out_s, vad_s = sharded_process_frames(default_model, carry, frames, mesh)
+
+    c1 = init_batch_carry(default_model.meta, b)
+    _, out_u, vad_u = process_frames(default_model, c1, frames)
+
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_u), atol=1.0)
+    np.testing.assert_allclose(np.asarray(vad_s), np.asarray(vad_u), atol=1e-3)
+    # outputs come back sharded over the mesh
+    assert len(out_s.sharding.device_set) == 8
+
+
+def test_sharded_carry_roundtrip(default_model):
+    """Carries survive a sharded multi-chunk run (state handoff)."""
+    b = 8
+    mesh = make_mesh(jax.devices()[:8])
+    rng = np.random.RandomState(1)
+    frames = (rng.randn(b, 4, FRAME_SIZE) * 1000).astype(np.float32)
+
+    carry = shard_batch(init_batch_carry(default_model.meta, b), mesh)
+    carry, out_a, _ = sharded_process_frames(default_model, carry, frames[:, :2], mesh)
+    carry, out_b, _ = sharded_process_frames(default_model, carry, frames[:, 2:], mesh)
+    two_chunk = np.concatenate([np.asarray(out_a), np.asarray(out_b)], axis=1)
+
+    c1 = init_batch_carry(default_model.meta, b)
+    _, out_full, _ = process_frames(default_model, c1, frames)
+    np.testing.assert_allclose(two_chunk, np.asarray(out_full), atol=1.0)
