@@ -52,6 +52,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="for raw input, the number of channels (default 1)",
     )
     ap.add_argument("--model", help="path to a custom model file")
+    ap.add_argument(
+        "--engine",
+        choices=["tpu", "native"],
+        default="tpu",
+        help="'tpu' = batched JAX/XLA engine (default); 'native' = the C++ "
+        "host engine (no device round-trip; best for short single streams)",
+    )
     return ap
 
 
@@ -73,15 +80,30 @@ def main(argv=None) -> int:
     if rate != 48_000:
         samples = resample_to_48k(samples, int(rate))
 
-    if args.model:
-        with open(args.model, "rb") as f:
-            model = RnnModel.from_bytes(f.read())
-    else:
-        model = RnnModel.default()
+    if args.engine == "native":
+        from .native import NativeDenoiseState, NativeModel
 
-    # channels -> batch axis; drop the first output frame like the reference.
-    out = denoise_audio(samples.T, model, drop_first_frame=True)
-    out = np.atleast_2d(out).T  # (n, channels)
+        nmodel = None
+        if args.model:
+            with open(args.model, "rb") as f:
+                nmodel = NativeModel(f.read())
+        outs = []
+        for ch in range(samples.shape[1]):
+            sig = np.ascontiguousarray(samples[:, ch])
+            t = len(sig) // FRAME_SIZE
+            st = NativeDenoiseState(nmodel)
+            o, _ = st.process_frames(sig[: t * FRAME_SIZE].reshape(t, FRAME_SIZE))
+            outs.append(o.reshape(-1)[FRAME_SIZE:])
+        out = np.stack(outs, axis=1)
+    else:
+        if args.model:
+            with open(args.model, "rb") as f:
+                model = RnnModel.from_bytes(f.read())
+        else:
+            model = RnnModel.default()
+        # channels -> batch axis; drop the first frame like the reference.
+        out = denoise_audio(samples.T, model, drop_first_frame=True)
+        out = np.atleast_2d(out).T  # (n, channels)
 
     if out_wav:
         write_wav(args.OUTPUT, out)

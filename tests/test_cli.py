@@ -126,3 +126,15 @@ def test_profile_sine_bench_smoke():
     assert stats["batch"] == 2 and stats["frames"] == 20
     assert stats["frames_per_sec"] > 0
     assert stats["realtime_factor"] > 0
+
+
+def test_native_engine_cli(tmp_path):
+    """--engine native produces golden-quality output from the CLI."""
+    out = tmp_path / "out.raw"
+    rc = cli_main([str(DATA_DIR / "testing.raw"), str(out), "--engine", "native"])
+    assert rc == 0
+    got = np.fromfile(out, dtype="<i2").astype(np.float64)
+    ref = np.fromfile(DATA_DIR / "reference_output.raw", dtype="<i2").astype(np.float64)
+    n = min(len(got), len(ref))
+    err = np.sum((ref[:n] - got[:n]) ** 2) / np.sum(got[:n] ** 2)
+    assert err < 1e-4
