@@ -85,8 +85,12 @@ def main(argv=None) -> int:
 
         nmodel = None
         if args.model:
-            with open(args.model, "rb") as f:
-                nmodel = NativeModel(f.read())
+            try:
+                with open(args.model, "rb") as f:
+                    nmodel = NativeModel(f.read())
+            except Exception as e:
+                print(f"error: failed to load model {args.model}: {e}", file=sys.stderr)
+                return 1
         outs = []
         for ch in range(samples.shape[1]):
             sig = np.ascontiguousarray(samples[:, ch])
@@ -97,8 +101,12 @@ def main(argv=None) -> int:
         out = np.stack(outs, axis=1)
     else:
         if args.model:
-            with open(args.model, "rb") as f:
-                model = RnnModel.from_bytes(f.read())
+            try:
+                with open(args.model, "rb") as f:
+                    model = RnnModel.from_bytes(f.read())
+            except Exception as e:
+                print(f"error: failed to load model {args.model}: {e}", file=sys.stderr)
+                return 1
         else:
             model = RnnModel.default()
         # channels -> batch axis; drop the first frame like the reference.

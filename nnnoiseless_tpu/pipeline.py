@@ -43,6 +43,7 @@ from .ops.bands import band_corr, band_energies, dct22, interp_band_gain
 from .ops.biquad import biquad_filter_dense
 from .ops.fft import forward_transform, inverse_transform
 from .ops.pitch import pitch_process
+from .ops.window import window_at_lag
 from .ops.rnn import RnnState, init_rnn_state, rnn_step
 from .tables import BIQUAD_HP_A, BIQUAD_HP_B
 
@@ -107,32 +108,6 @@ def init_carry(meta: ModelMeta) -> DenoiseCarry:
     )
 
 
-def _window_at_lag(input_mem: jnp.ndarray, lag: jnp.ndarray) -> jnp.ndarray:
-    """input_mem[-(960+lag) : -lag] without a data-dependent gather.
-
-    A vmapped ``dynamic_slice`` at a per-stream lag lowers to an elementwise
-    gather — the hottest single op of the batched pipeline (~4 ms/step at
-    B=4096).  A barrel shifter (10 static shifts + bit-selects on the lag)
-    moves the same window to a fixed position with dense, fusible ops.
-    """
-    y = input_mem
-    for b in range(10):  # lags < 1024 (PITCH_MAX_PERIOD = 768)
-        sh = 1 << b
-        shifted = jnp.concatenate([jnp.zeros((sh,), y.dtype), y[:-sh]])
-        y = jnp.where(((lag >> b) & 1) == 1, shifted, y)
-    return y[PITCH_BUF_SIZE - WINDOW_SIZE :]
-
-
-def _transform_at_lag(input_mem: jnp.ndarray, lag: jnp.ndarray):
-    """Window + rFFT + band energies of input_mem[-(960+lag) : -lag].
-
-    (reference transform_input, features.rs:281-298)
-    """
-    frame = _window_at_lag(input_mem, lag)
-    spec = forward_transform(frame)
-    return spec, band_energies(spec)
-
-
 def _log_spectrum(ex: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Floored/followed log band energies (features.rs:147-158).
 
@@ -177,14 +152,17 @@ def analyze_frame(
     )
     input_mem = jnp.concatenate([state.input_mem[FRAME_SIZE:], filtered])
 
-    # --- analysis at lag 0 -------------------------------------------------
-    x, ex = _transform_at_lag(input_mem, jnp.int32(0))
-
     # --- pitch analysis (state updates are unconditional, pitch.rs:45-54) --
     period, pgain = pitch_process(input_mem, state.pitch_period, state.pitch_gain)
 
-    # --- analysis at pitch lag + band correlations --------------------------
-    p, ep = _transform_at_lag(input_mem, period)
+    # --- analysis at lag 0 and at the pitch lag, batched into one DFT ------
+    frames2 = jnp.stack(
+        [input_mem[PITCH_BUF_SIZE - WINDOW_SIZE :], window_at_lag(input_mem, period)]
+    )
+    spec2 = forward_transform(frames2)  # (2, 2, 481)
+    e2 = band_energies(spec2)
+    x, p = spec2[0], spec2[1]
+    ex, ep = e2[0], e2[1]
     exp_raw = band_corr(x, p)
     exp = exp_raw / jnp.sqrt(_F32(0.001) + ex * ep)
 

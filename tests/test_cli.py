@@ -138,3 +138,16 @@ def test_native_engine_cli(tmp_path):
     n = min(len(got), len(ref))
     err = np.sum((ref[:n] - got[:n]) ** 2) / np.sum(got[:n] ** 2)
     assert err < 1e-4
+
+
+def test_bad_model_clean_error(tmp_path, capsys):
+    out = tmp_path / "out.raw"
+    inp = tmp_path / "in.raw"
+    inp.write_bytes(b"\x00" * 4800)
+    bad = tmp_path / "bad.rnn"
+    bad.write_bytes(b"not a model at all")
+    assert cli_main([str(inp), str(out), "--model", str(bad)]) == 1
+    assert "failed to load model" in capsys.readouterr().err
+    assert (
+        cli_main([str(inp), str(out), "--model", str(bad), "--engine", "native"]) == 1
+    )

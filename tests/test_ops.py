@@ -271,3 +271,36 @@ def test_biquad_dense_matches_scan():
     gb, gmb = biquad_filter_dense(jnp.asarray(xb), jnp.asarray(mb), a, b)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(wb), atol=2.0)
     np.testing.assert_allclose(np.asarray(gmb), np.asarray(wmb), atol=2.0)
+
+
+def test_window_at_lag_variants():
+    """Barrel shifter == dynamic slice; Pallas kernel (interpret) == barrel."""
+    import jax
+    from nnnoiseless_tpu.constants import PITCH_BUF_SIZE, WINDOW_SIZE
+    from nnnoiseless_tpu.ops.window import (
+        _barrel_shift_window,
+        _pallas_window,
+        window_at_lag,
+    )
+
+    rng = np.random.RandomState(11)
+    b = 256  # one Pallas block
+    mem = jnp.asarray(rng.randn(b, PITCH_BUF_SIZE).astype(np.float32))
+    lag = jnp.asarray(rng.randint(0, 769, size=b).astype(np.int32))
+
+    want = np.stack(
+        [
+            np.asarray(mem[i])[
+                PITCH_BUF_SIZE - WINDOW_SIZE - int(lag[i]) : PITCH_BUF_SIZE - int(lag[i])
+            ]
+            for i in range(b)
+        ]
+    )
+    got_barrel = np.asarray(_barrel_shift_window(mem, lag))
+    np.testing.assert_array_equal(got_barrel, want)
+
+    got_pallas = np.asarray(_pallas_window(mem, lag, interpret=True))
+    np.testing.assert_array_equal(got_pallas, want)
+
+    got_vmap = np.asarray(jax.vmap(window_at_lag)(mem, lag))
+    np.testing.assert_array_equal(got_vmap, want)
