@@ -30,10 +30,19 @@ struct Tables {
   float band_w[kNbBands][kFreqSize];   // band energies = band_w . power
   float interp_w[kFreqSize][2];        // per-bin (1-frac, frac) into band lo/lo+1
   int interp_band[kFreqSize];          // lower band index per bin (-1 = zero bin)
-  // Direct real-DFT bases.  At N=960 and one stream this is ~5.5 MFLOP per
-  // frame - cheap on any host core; table-driven and trivially vectorized.
-  std::vector<float> dft_cos;  // [kFreqSize][kWindowSize]
-  std::vector<float> dft_sin;
+  // Two-stage Cooley-Tukey real-DFT bases (960 = 30 x 32) - same
+  // factorization as the TPU engine (nnnoiseless_tpu/ops/fft.py): stage 1
+  // is a 30-point DFT over a (n = 32a + b), a twiddle by W_960^{bc}, and
+  // stage 2 a 32-point DFT over b with bins at k = 30d + c.  ~360 KFLOP
+  // per transform versus ~1.85 MFLOP for the naive dense DFT.
+  static constexpr int kN1 = 30;
+  static constexpr int kN2 = 32;
+  float ct_c1[kN1][kN1];  // cos(2pi a c / 30)
+  float ct_s1[kN1][kN1];
+  float ct_c2[kN2][kN2];  // cos(2pi b d / 32)
+  float ct_s2[kN2][kN2];
+  float tw_c[kN2][kN1];   // cos(2pi b c / 960), b-major
+  float tw_s[kN2][kN1];
 
   Tables() {
     // Vorbis power-complementary window (SURVEY.md C4).
@@ -84,15 +93,23 @@ struct Tables {
       band_w[kNbBands - 1][i] *= 2.0f;
     }
 
-    dft_cos.resize(static_cast<size_t>(kFreqSize) * kWindowSize);
-    dft_sin.resize(static_cast<size_t>(kFreqSize) * kWindowSize);
-    for (int k = 0; k < kFreqSize; ++k)
-      for (int n = 0; n < kWindowSize; ++n) {
-        double ang = 2.0 * M_PI * k * n / kWindowSize;
-        dft_cos[static_cast<size_t>(k) * kWindowSize + n] =
-            static_cast<float>(std::cos(ang));
-        dft_sin[static_cast<size_t>(k) * kWindowSize + n] =
-            static_cast<float>(std::sin(ang));
+    for (int a = 0; a < kN1; ++a)
+      for (int c = 0; c < kN1; ++c) {
+        double ang = 2.0 * M_PI * a * c / kN1;
+        ct_c1[a][c] = static_cast<float>(std::cos(ang));
+        ct_s1[a][c] = static_cast<float>(std::sin(ang));
+      }
+    for (int b = 0; b < kN2; ++b)
+      for (int d = 0; d < kN2; ++d) {
+        double ang = 2.0 * M_PI * b * d / kN2;
+        ct_c2[b][d] = static_cast<float>(std::cos(ang));
+        ct_s2[b][d] = static_cast<float>(std::sin(ang));
+      }
+    for (int b = 0; b < kN2; ++b)
+      for (int c = 0; c < kN1; ++c) {
+        double ang = 2.0 * M_PI * b * c / kWindowSize;
+        tw_c[b][c] = static_cast<float>(std::cos(ang));
+        tw_s[b][c] = static_cast<float>(std::sin(ang));
       }
   }
 };
@@ -170,37 +187,85 @@ void InterpBandGain(float* out, const float* g) {
 }
 
 // Windowed forward real DFT with the reference's wnorm scale: input 960
-// samples -> packed spectrum (re, im).
+// samples -> packed spectrum (re, im).  Two-stage CT factorization.
 void ForwardTransform(float* re, float* im, const float* frame) {
+  constexpr int kN1 = Tables::kN1, kN2 = Tables::kN2;
   const Tables& t = tables();
   float w[kWindowSize];
   for (int i = 0; i < kWindowSize; ++i) w[i] = frame[i] * t.window[i];
-  for (int k = 0; k < kFreqSize; ++k) {
-    const float* ck = &t.dft_cos[static_cast<size_t>(k) * kWindowSize];
-    const float* sk = &t.dft_sin[static_cast<size_t>(k) * kWindowSize];
-    float ar = 0.0f, ai = 0.0f;
-    for (int n = 0; n < kWindowSize; ++n) {
-      ar += w[n] * ck[n];
-      ai -= w[n] * sk[n];
+  // stage 1 + twiddle: Z[b][c] = W960^{bc} sum_a w[32a+b] W30^{ac}
+  float zr[kN2][kN1], zi[kN2][kN1];
+  for (int b = 0; b < kN2; ++b) {
+    float yr[kN1], yi[kN1];
+    for (int c = 0; c < kN1; ++c) yr[c] = yi[c] = 0.0f;
+    for (int a = 0; a < kN1; ++a) {
+      float v = w[kN2 * a + b];
+      for (int c = 0; c < kN1; ++c) {
+        yr[c] += v * t.ct_c1[a][c];
+        yi[c] -= v * t.ct_s1[a][c];
+      }
     }
-    re[k] = ar * t.wnorm;
-    im[k] = ai * t.wnorm;
+    for (int c = 0; c < kN1; ++c) {
+      zr[b][c] = yr[c] * t.tw_c[b][c] + yi[c] * t.tw_s[b][c];
+      zi[b][c] = yi[c] * t.tw_c[b][c] - yr[c] * t.tw_s[b][c];
+    }
+  }
+  // stage 2: X[30d + c] = sum_b Z[b][c] W32^{bd}; keep the 481 rfft bins.
+  float xr[kWindowSize], xi[kWindowSize];
+  for (int n = 0; n < kWindowSize; ++n) xr[n] = xi[n] = 0.0f;
+  for (int b = 0; b < kN2; ++b)
+    for (int d = 0; d < kN2; ++d) {
+      float cb = t.ct_c2[b][d], sb = t.ct_s2[b][d];
+      float* xrd = xr + kN1 * d;
+      float* xid = xi + kN1 * d;
+      for (int c = 0; c < kN1; ++c) {
+        xrd[c] += zr[b][c] * cb + zi[b][c] * sb;
+        xid[c] += zi[b][c] * cb - zr[b][c] * sb;
+      }
+    }
+  for (int k = 0; k < kFreqSize; ++k) {
+    re[k] = xr[k] * t.wnorm;
+    im[k] = xi[k] * t.wnorm;
   }
 }
 
 // Inverse: unnormalized hermitian inverse DFT / 2, then synthesis window.
 void InverseTransform(float* out, const float* re, const float* im) {
+  constexpr int kN1 = Tables::kN1, kN2 = Tables::kN2;
   const Tables& t = tables();
-  // Accumulate over bins: x[n] = 0.5 * sum_k h_k (re cos - im sin).
-  for (int n = 0; n < kWindowSize; ++n) out[n] = 0.0f;
-  for (int k = 0; k < kFreqSize; ++k) {
-    float h = (k == 0 || k == kFreqSize - 1) ? 0.5f : 1.0f;
-    const float* ck = &t.dft_cos[static_cast<size_t>(k) * kWindowSize];
-    const float* sk = &t.dft_sin[static_cast<size_t>(k) * kWindowSize];
-    float hr = h * re[k], hi = h * im[k];
-    for (int n = 0; n < kWindowSize; ++n) out[n] += hr * ck[n] - hi * sk[n];
+  // hermitian unfold to 960 bins: full[k] = conj-mirrored spectrum
+  float fr[kWindowSize], fi[kWindowSize];
+  for (int k = 0; k < kWindowSize; ++k) {
+    int m = k <= kWindowSize / 2 ? k : kWindowSize - k;
+    fr[k] = re[m];
+    fi[k] = k <= kWindowSize / 2 ? im[m] : -im[m];
   }
-  for (int n = 0; n < kWindowSize; ++n) out[n] *= t.window[n];
+  // stage 1 + twiddle over k = 32a + b, with V = e^{+i...}
+  float zr[kN2][kN1], zi[kN2][kN1];
+  for (int b = 0; b < kN2; ++b) {
+    float yr[kN1], yi[kN1];
+    for (int c = 0; c < kN1; ++c) yr[c] = yi[c] = 0.0f;
+    for (int a = 0; a < kN1; ++a) {
+      float vr = fr[kN2 * a + b], vi = fi[kN2 * a + b];
+      for (int c = 0; c < kN1; ++c) {
+        yr[c] += vr * t.ct_c1[a][c] - vi * t.ct_s1[a][c];
+        yi[c] += vr * t.ct_s1[a][c] + vi * t.ct_c1[a][c];
+      }
+    }
+    for (int c = 0; c < kN1; ++c) {
+      zr[b][c] = yr[c] * t.tw_c[b][c] - yi[c] * t.tw_s[b][c];
+      zi[b][c] = yi[c] * t.tw_c[b][c] + yr[c] * t.tw_s[b][c];
+    }
+  }
+  // stage 2, real output only: out[30d + c] = Re sum_b Z[b][c] V32^{bd}
+  for (int n = 0; n < kWindowSize; ++n) out[n] = 0.0f;
+  for (int b = 0; b < kN2; ++b)
+    for (int d = 0; d < kN2; ++d) {
+      float cb = t.ct_c2[b][d], sb = t.ct_s2[b][d];
+      float* od = out + kN1 * d;
+      for (int c = 0; c < kN1; ++c) od[c] += zr[b][c] * cb - zi[b][c] * sb;
+    }
+  for (int n = 0; n < kWindowSize; ++n) out[n] *= 0.5f * t.window[n];
 }
 
 // ===========================================================================
