@@ -55,13 +55,29 @@ def _process_chunk(params, meta: ModelMeta, carry: DenoiseCarry, frames):
 
 
 def _scan_batch(params, meta: ModelMeta, carry, frames):
-    """frames (B, T, 480) -> (carry', out (B, T, 480), vad (B, T))."""
+    """frames (B, T, 480) -> (carry', out (B, T, 480), vad (B, T)).
 
-    def step(c, f):  # f: (B, 480)
-        c2, out, vad = jax.vmap(lambda ci, fi: frame_step(params, meta, ci, fi))(c, f)
+    The HP biquad is linear/time-invariant, so the whole chunk is filtered
+    up front in one batched matmul (ops.biquad.biquad_filter_frames); the
+    scan body then runs the prefiltered frame step.  Only the final carry's
+    hp_mem matters for chunk handoff and is patched in afterwards.
+    """
+    from .ops.biquad import biquad_filter_frames
+    from .pipeline import frame_step_prefiltered
+    from .tables import BIQUAD_HP_A, BIQUAD_HP_B
+
+    filtered, hp_out = biquad_filter_frames(
+        frames, carry.feat.hp_mem, tuple(BIQUAD_HP_A), tuple(BIQUAD_HP_B)
+    )
+
+    def step(c, f):  # f: (B, 480) prefiltered
+        c2, out, vad = jax.vmap(
+            lambda ci, fi: frame_step_prefiltered(params, meta, ci, fi, ci.feat.hp_mem)
+        )(c, f)
         return c2, (out, vad)
 
-    carry, (out, vad) = jax.lax.scan(step, carry, jnp.swapaxes(frames, 0, 1))
+    carry, (out, vad) = jax.lax.scan(step, carry, jnp.swapaxes(filtered, 0, 1))
+    carry = carry._replace(feat=carry.feat._replace(hp_mem=hp_out))
     return carry, jnp.swapaxes(out, 0, 1), jnp.swapaxes(vad, 0, 1)
 
 

@@ -26,7 +26,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..model import ModelMeta, RnnModel
-from ..pipeline import frame_step
 
 
 def make_mesh(devices: Optional[Sequence] = None, axis_name: str = "dp") -> Mesh:
@@ -46,13 +45,9 @@ def _sharded_chunk(params, meta: ModelMeta, carry, frames):
     """Identical math to denoise._process_chunk_batch; sharding comes from
     the operand placements (GSPMD propagates the batch sharding through the
     scan), so one jitted program serves any mesh."""
+    from ..denoise import _scan_batch
 
-    def step(c, f):
-        c2, out, vad = jax.vmap(lambda ci, fi: frame_step(params, meta, ci, fi))(c, f)
-        return c2, (out, vad)
-
-    carry, (out, vad) = jax.lax.scan(step, carry, jnp.swapaxes(frames, 0, 1))
-    return carry, jnp.swapaxes(out, 0, 1), jnp.swapaxes(vad, 0, 1)
+    return _scan_batch(params, meta, carry, frames)
 
 
 def sharded_process_frames(

@@ -144,12 +144,20 @@ def analyze_frame(
     (features.rs:97-219).  Cepstral-ring updates are masked out on silent
     frames; input/pitch state updates are unconditional, as in the reference.
     """
-    # --- input shift + high-pass (features.rs:97-104) --------------------
-    # Dense (matmul) formulation of the 480-step biquad recurrence: the
-    # sequential scan is the latency bottleneck of the batched frame step.
+    # Dense (matmul) formulation of the 480-step biquad recurrence; the
+    # batched chunk path hoists this out of the scan entirely (see
+    # analyze_frame_prefiltered / ops.biquad.biquad_filter_frames).
     filtered, hp_mem = biquad_filter_dense(
         frame, state.hp_mem, tuple(BIQUAD_HP_A), tuple(BIQUAD_HP_B)
     )
+    return analyze_frame_prefiltered(state, filtered, hp_mem)
+
+
+def analyze_frame_prefiltered(
+    state: FeatureState, filtered: jnp.ndarray, hp_mem: jnp.ndarray
+) -> tuple[FeatureState, Analysis]:
+    """Analysis of an already HP-filtered frame; ``hp_mem`` is stored as-is."""
+    # --- input shift (features.rs:97-104) ---------------------------------
     input_mem = jnp.concatenate([state.input_mem[FRAME_SIZE:], filtered])
 
     # --- pitch analysis (state updates are unconditional, pitch.rs:45-54) --
@@ -245,6 +253,29 @@ def frame_step(
     Input/output are f32 in i16 range ([-32768, 32767]), like the reference.
     """
     feat_state, an = analyze_frame(carry.feat, frame)
+    return _denoise_tail(params, meta, carry, feat_state, an)
+
+
+def frame_step_prefiltered(
+    params: dict,
+    meta: ModelMeta,
+    carry: DenoiseCarry,
+    filtered: jnp.ndarray,
+    hp_mem: jnp.ndarray,
+) -> tuple[DenoiseCarry, jnp.ndarray, jnp.ndarray]:
+    """frame_step for an already HP-filtered frame (see biquad_filter_frames:
+    the batched chunk path hoists the filter out of the scan)."""
+    feat_state, an = analyze_frame_prefiltered(carry.feat, filtered, hp_mem)
+    return _denoise_tail(params, meta, carry, feat_state, an)
+
+
+def _denoise_tail(
+    params: dict,
+    meta: ModelMeta,
+    carry: DenoiseCarry,
+    feat_state: FeatureState,
+    an: Analysis,
+) -> tuple[DenoiseCarry, jnp.ndarray, jnp.ndarray]:
     silence = an.silence
 
     # --- RNN (state masked on silence, denoise.rs:102-112) ------------------
