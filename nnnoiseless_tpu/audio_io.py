@@ -14,7 +14,6 @@ Mirrors the CLI input conventions (src/nnnoiseless.rs:179-228):
 
 from __future__ import annotations
 
-import struct
 import wave
 from typing import Tuple
 

@@ -29,7 +29,6 @@ import numpy as np
 
 from ..constants import (
     MAX_PITCH,
-    PITCH_BUF_DS,
     PITCH_FRAME_DS,
     PITCH_MAX_DS,
     PITCH_MAX_PERIOD,
@@ -37,7 +36,7 @@ from ..constants import (
     PITCH_MIN_PERIOD,
 )
 from ..tables import SECOND_CHECK
-from .precision import convolve, dot, matmul
+from .precision import convolve, dot
 
 _F32 = jnp.float32
 

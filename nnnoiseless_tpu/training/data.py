@@ -20,7 +20,7 @@ Usage::
 from __future__ import annotations
 
 import argparse
-import functools
+
 import glob as globlib
 import wave
 from typing import List

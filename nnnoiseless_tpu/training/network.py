@@ -15,7 +15,7 @@ dump produces a loadable ``.rnn``.
 
 from __future__ import annotations
 
-import dataclasses
+
 from typing import NamedTuple
 
 import jax
