@@ -64,15 +64,28 @@ def main():
     model = RnnModel.default()
     dev = jax.devices()[0]
     results = {}
-    for b in args.batches:
-        fps = bench_batch(model, b, args.frames, args.iters)
+    # Largest batch first: it is the headline metric, and on this backend
+    # the first compile costs minutes — make sure the number that matters
+    # lands even if a later (cheaper) config fails or times out.
+    for b in sorted(args.batches, reverse=True):
+        try:
+            fps = bench_batch(model, b, args.frames, args.iters)
+        except Exception as e:  # keep going; report what we have
+            print(f"# batch {b}: FAILED ({e})", file=sys.stderr)
+            continue
         results[b] = fps
         print(
             f"# batch {b:5d}: {fps:12.0f} frames/s = {fps / 100:9.1f}x realtime",
             file=sys.stderr,
+            flush=True,
         )
 
-    top_batch = max(args.batches)
+    if not results:
+        print(json.dumps({"metric": "aggregate_realtime_factor", "value": 0.0,
+                          "unit": "x_realtime_48kHz_mono", "vs_baseline": 0.0,
+                          "error": "all batch configs failed"}))
+        return
+    top_batch = max(results)
     rt = results[top_batch] / 100.0
     print(
         json.dumps(

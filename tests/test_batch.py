@@ -72,3 +72,19 @@ def test_stream_batch_api(default_model):
     np.testing.assert_allclose(
         np.concatenate([out_a, out_b], axis=1), out_full, atol=1e-3
     )
+
+
+def test_extreme_inputs_stay_finite(default_model):
+    """Full-scale, DC, and alternating-sign inputs produce finite output."""
+    from nnnoiseless_tpu import denoise_audio
+
+    n = 6 * FRAME_SIZE
+    streams = np.stack(
+        [
+            np.full(n, 32767.0, np.float32),                     # DC full scale
+            np.tile([32767.0, -32768.0], n // 2).astype(np.float32),  # Nyquist
+            (np.random.RandomState(9).rand(n).astype(np.float32) * 65535 - 32768),
+        ]
+    )
+    out = denoise_audio(streams, default_model, drop_first_frame=False)
+    assert np.all(np.isfinite(out))

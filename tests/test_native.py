@@ -98,3 +98,24 @@ def test_c_demo_byte_identical_to_python_binding(native, tmp_path, testing_raw):
     out_py = native.denoise_audio_native(testing_raw)
     got_py = np.clip(out_py, -32768, 32767).astype(np.int16)
     np.testing.assert_array_equal(got_c, got_py)
+
+
+def test_custom_model_cross_engine(native, testing_raw):
+    """JAX and native engines agree on a *non-default* model too."""
+    from conftest import DATA_DIR
+
+    from nnnoiseless_tpu import RnnModel, denoise_audio
+    from nnnoiseless_tpu.model import convert_rnnoise
+
+    data = bytes(convert_rnnoise((DATA_DIR / "sh.rnnn").read_text()))
+    sig = testing_raw[: 20 * FRAME_SIZE]
+
+    jmodel = RnnModel.from_bytes(data)
+    a = denoise_audio(sig, jmodel, drop_first_frame=False).astype(np.float64)
+
+    st = native.NativeDenoiseState(native.NativeModel(data))
+    b, _ = st.process_frames(sig.reshape(20, FRAME_SIZE))
+    b = b.reshape(-1).astype(np.float64)
+
+    corr = np.sum(a * b) / np.sqrt(np.sum(a * a) * np.sum(b * b))
+    assert corr > 1 - 1e-6
