@@ -96,6 +96,11 @@ class RnnModel:
         except ModelParseError:
             return None
 
+    # In Python there is no owned-vs-borrowed distinction; the reference's
+    # zero-copy constructor (rnn.rs:92, from_static_bytes) maps to the same
+    # parse.
+    from_static_bytes = from_bytes
+
     @classmethod
     def from_file(cls, path) -> "RnnModel":
         with open(path, "rb") as f:
