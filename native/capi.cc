@@ -9,6 +9,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <new>
+#include <type_traits>
 #include <vector>
 
 #include "denoise_engine.h"
@@ -22,17 +23,16 @@ struct DenoiseState;  // opaque: holds one engine state
 
 namespace {
 
-// The caller-visible state block: engine state by value so that
-// caller-allocated `rnnoise_get_size()` storage + `rnnoise_init` works
-// without heap allocation tricks.
-struct StateBlock {
-  nnt::DenoiseState* engine;
-  const nnt::RnnModel* model;
-};
-
-inline StateBlock* as_block(DenoiseState* st) {
-  return reinterpret_cast<StateBlock*>(st);
+// nnt::DenoiseState is flat and trivially destructible, so the reference's
+// caller-managed-storage contract holds exactly: rnnoise_get_size() bytes
+// of any storage + rnnoise_init == a fully constructed state; re-init is a
+// plain reconstruction (no leaks); rnnoise_destroy is free().
+inline nnt::DenoiseState* as_engine(DenoiseState* st) {
+  return reinterpret_cast<nnt::DenoiseState*>(st);
 }
+
+static_assert(std::is_trivially_destructible<nnt::DenoiseState>::value,
+              "caller-storage ABI requires a trivially destructible state");
 
 }  // namespace
 
@@ -40,35 +40,29 @@ extern "C" {
 
 int rnnoise_get_frame_size(void) { return nnt::kFrameSize; }
 
-size_t rnnoise_get_size(void) { return sizeof(StateBlock); }
+size_t rnnoise_get_size(void) { return sizeof(nnt::DenoiseState); }
 
 int rnnoise_init(DenoiseState* st, RNNModel* model) {
   if (!st) return -1;
-  StateBlock* b = as_block(st);
-  b->model = reinterpret_cast<const nnt::RnnModel*>(model);
-  b->engine = new (std::nothrow) nnt::DenoiseState(b->model);
-  return b->engine ? 0 : -1;
+  new (st) nnt::DenoiseState(reinterpret_cast<const nnt::RnnModel*>(model));
+  return 0;
 }
 
 DenoiseState* rnnoise_create(RNNModel* model) {
-  StateBlock* b = static_cast<StateBlock*>(std::malloc(sizeof(StateBlock)));
-  if (!b) return nullptr;
-  if (rnnoise_init(reinterpret_cast<DenoiseState*>(b), model) != 0) {
-    std::free(b);
-    return nullptr;
-  }
-  return reinterpret_cast<DenoiseState*>(b);
+  void* storage = std::malloc(sizeof(nnt::DenoiseState));
+  if (!storage) return nullptr;
+  new (storage) nnt::DenoiseState(reinterpret_cast<const nnt::RnnModel*>(model));
+  return reinterpret_cast<DenoiseState*>(storage);
 }
 
 void rnnoise_destroy(DenoiseState* st) {
-  if (!st) return;
-  StateBlock* b = as_block(st);
-  delete b->engine;
-  std::free(b);
+  // Trivially destructible: only for states from rnnoise_create (malloc'd);
+  // caller-allocated + rnnoise_init states are freed by the caller.
+  std::free(st);
 }
 
 float rnnoise_process_frame(DenoiseState* st, float* out, const float* in) {
-  return as_block(st)->engine->ProcessFrame(out, in);
+  return as_engine(st)->ProcessFrame(out, in);
 }
 
 RNNModel* rnnoise_model_from_file(FILE* f) {
@@ -88,13 +82,13 @@ void rnnoise_model_free(RNNModel* model) {
 
 // ---- extensions beyond the reference ABI (batch + reset) -----------------
 
-void rnnoise_reset(DenoiseState* st) { as_block(st)->engine->Reset(); }
+void rnnoise_reset(DenoiseState* st) { as_engine(st)->Reset(); }
 
 // Process a contiguous run of frames for one stream in a single call
 // (amortizes FFI overhead for the Python binding).
 void nnt_process_frames(DenoiseState* st, float* out, const float* in,
                         int n_frames, float* vad_out) {
-  nnt::DenoiseState* e = as_block(st)->engine;
+  nnt::DenoiseState* e = as_engine(st);
   for (int t = 0; t < n_frames; ++t) {
     float v = e->ProcessFrame(out + static_cast<size_t>(t) * nnt::kFrameSize,
                               in + static_cast<size_t>(t) * nnt::kFrameSize);

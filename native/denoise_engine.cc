@@ -602,6 +602,18 @@ std::unique_ptr<RnnModel> RnnModel::FromBytes(const uint8_t* data, size_t len) {
   if (!ParseDense(&r, &m->denoise_output)) return nullptr;
   if (!ParseDense(&r, &m->vad_output)) return nullptr;
   if (r.left != 0) return nullptr;  // trailing garbage
+  // Size validation: the engine's state/scratch buffers are fixed at
+  // kMaxNeurons/kMaxConcatInputs; reject models beyond them (the format's
+  // int8 header fields allow up to 127 neurons).
+  for (const GruLayer* g : {&m->vad_gru, &m->noise_gru, &m->denoise_gru}) {
+    if (g->nb_neurons > kMaxNeurons || g->nb_inputs > kMaxConcatInputs)
+      return nullptr;
+  }
+  for (const DenseLayer* dl :
+       {&m->input_dense, &m->denoise_output, &m->vad_output}) {
+    if (dl->nb_neurons > kMaxNeurons || dl->nb_inputs > kMaxConcatInputs)
+      return nullptr;
+  }
   // Topology validation: the concat-input arithmetic must hold.
   const int f = m->input_dense.nb_inputs;           // 42
   const int d = m->input_dense.nb_neurons;          // 24
@@ -646,55 +658,42 @@ const RnnModel& DefaultModel() {
 // The per-frame engine (SURVEY.md C14-C18, C22, C23)
 // ===========================================================================
 
-struct DenoiseState::Impl {
-  const RnnModel* model;
+DenoiseState::DenoiseState(const RnnModel* model)
+    : model_(model ? model : &DefaultModel()) {
+  Reset();
+}
 
-  // Recurrent state (the 7 carries of SURVEY.md §5).
-  float input_mem[kPitchBufSize] = {0};
-  float hp_mem[2] = {0, 0};  // f32 state, f64 per-sample arithmetic
-  float cepstral_mem[kCepsMem][kNbBands] = {{0}};
-  int mem_id = 0;
-  float synthesis_mem[kFrameSize] = {0};
-  float vad_state[96] = {0};      // sized for the largest supported GRU
-  float noise_state[96] = {0};
-  float denoise_state[96] = {0};
-  float lastg[kNbBands] = {0};
-  int last_period = 0;
-  float last_gain = 0.0f;
-
-  explicit Impl(const RnnModel* m) : model(m ? m : &DefaultModel()) {}
-
-  void Reset() {
-    std::memset(input_mem, 0, sizeof(input_mem));
-    hp_mem[0] = hp_mem[1] = 0;
-    std::memset(cepstral_mem, 0, sizeof(cepstral_mem));
-    mem_id = 0;
-    std::memset(synthesis_mem, 0, sizeof(synthesis_mem));
-    std::memset(vad_state, 0, sizeof(vad_state));
-    std::memset(noise_state, 0, sizeof(noise_state));
-    std::memset(denoise_state, 0, sizeof(denoise_state));
-    std::memset(lastg, 0, sizeof(lastg));
-    last_period = 0;
-    last_gain = 0.0f;
+void DenoiseState::Reset() {
+    std::memset(input_mem_, 0, sizeof(input_mem_));
+    hp_mem_[0] = hp_mem_[1] = 0;
+    std::memset(cepstral_mem_, 0, sizeof(cepstral_mem_));
+    mem_id_ = 0;
+    std::memset(synthesis_mem_, 0, sizeof(synthesis_mem_));
+    std::memset(vad_state_, 0, sizeof(vad_state_));
+    std::memset(noise_state_, 0, sizeof(noise_state_));
+    std::memset(denoise_state_, 0, sizeof(denoise_state_));
+    std::memset(lastg_, 0, sizeof(lastg_));
+    last_period_ = 0;
+    last_gain_ = 0.0f;
   }
 
-  // Windowed transform of input_mem[end-960-lag : end-lag].
-  void TransformAtLag(float* re, float* im, float* bande, int lag) {
-    ForwardTransform(re, im, input_mem + kPitchBufSize - kWindowSize - lag);
+// Windowed transform of input_mem_[end-960-lag : end-lag].
+void DenoiseState::TransformAtLag(float* re, float* im, float* bande, int lag) {
+    ForwardTransform(re, im, input_mem_ + kPitchBufSize - kWindowSize - lag);
     BandCorr(bande, re, im, re, im);
   }
 
-  float Process(float* out, const float* in) {
+float DenoiseState::ProcessFrame(float* out, const float* in) {
     // --- input shift + high-pass biquad (f64 accumulation) ----------------
-    std::memmove(input_mem, input_mem + kFrameSize,
+    std::memmove(input_mem_, input_mem_ + kFrameSize,
                  (kPitchBufSize - kFrameSize) * sizeof(float));
-    float* tail = input_mem + kPitchBufSize - kFrameSize;
+    float* tail = input_mem_ + kPitchBufSize - kFrameSize;
     const double a0 = -1.99599, a1 = 0.99600, b0 = -2.0, b1 = 1.0;
     for (int i = 0; i < kFrameSize; ++i) {
       double x = in[i];
-      double y = x + hp_mem[0];
-      hp_mem[0] = static_cast<float>(hp_mem[1] + (b0 * x - a0 * y));
-      hp_mem[1] = static_cast<float>(b1 * x - a1 * y);
+      double y = x + hp_mem_[0];
+      hp_mem_[0] = static_cast<float>(hp_mem_[1] + (b0 * x - a0 * y));
+      hp_mem_[1] = static_cast<float>(b1 * x - a1 * y);
       tail[i] = static_cast<float>(y);
     }
 
@@ -703,13 +702,13 @@ struct DenoiseState::Impl {
     TransformAtLag(xre, xim, ex, 0);
 
     float x_lp[kDsBuf];
-    WhitenedDownsample(x_lp, input_mem);
+    WhitenedDownsample(x_lp, input_mem_);
     int pitch_idx = kPitchMaxPeriod - PitchSearch(x_lp);
     int period;
     float pgain;
-    RemoveDoubling(x_lp, pitch_idx, last_period, last_gain, &period, &pgain);
-    last_period = period;
-    last_gain = pgain;
+    RemoveDoubling(x_lp, pitch_idx, last_period_, last_gain_, &period, &pgain);
+    last_period_ = period;
+    last_gain_ = pgain;
 
     float pre[kFreqSize], pim[kFreqSize], ep[kNbBands];
     TransformAtLag(pre, pim, ep, period);
@@ -745,13 +744,13 @@ struct DenoiseState::Impl {
       Dct22(ceps, ly);
       ceps[0] -= 12.0f;
       ceps[1] -= 4.0f;
-      int idx0 = mem_id;
+      int idx0 = mem_id_;
       int idx1 = (idx0 + kCepsMem - 1) % kCepsMem;
       int idx2 = (idx0 + kCepsMem - 2) % kCepsMem;
-      std::memcpy(cepstral_mem[idx0], ceps, sizeof(ceps));
-      mem_id = (idx0 + 1) % kCepsMem;
-      const float* c1v = cepstral_mem[idx1];
-      const float* c2v = cepstral_mem[idx2];
+      std::memcpy(cepstral_mem_[idx0], ceps, sizeof(ceps));
+      mem_id_ = (idx0 + 1) % kCepsMem;
+      const float* c1v = cepstral_mem_[idx1];
+      const float* c2v = cepstral_mem_[idx2];
       for (int i = 0; i < kNbDeltaCeps; ++i) {
         features[i] = ceps[i] + c1v[i] + c2v[i];
         features[kNbBands + i] = ceps[i] - c2v[i];
@@ -765,7 +764,7 @@ struct DenoiseState::Impl {
           if (j == i) continue;
           float d = 0.0f;
           for (int b = 0; b < kNbBands; ++b) {
-            float t = cepstral_mem[i][b] - cepstral_mem[j][b];
+            float t = cepstral_mem_[i][b] - cepstral_mem_[j][b];
             d += t * t;
           }
           mind = std::min(mind, d);
@@ -778,23 +777,23 @@ struct DenoiseState::Impl {
       features[kNbFeatures - 1] = spec_var / kCepsMem - 2.1f;
 
       // --- RNN ----------------------------------------------------------
-      const RnnModel& m = *model;
+      const RnnModel& m = *model_;
       float dense_out[96], noise_in[256], den_in[256], gains[kNbBands], vad_out[1];
       DenseApply(dense_out, m.input_dense, features);
-      GruApply(vad_state, m.vad_gru, dense_out);
-      DenseApply(vad_out, m.vad_output, vad_state);
+      GruApply(vad_state_, m.vad_gru, dense_out);
+      DenseApply(vad_out, m.vad_output, vad_state_);
       vad = vad_out[0];
       int di = m.input_dense.nb_neurons, vn = m.vad_gru.nb_neurons;
       std::memcpy(noise_in, dense_out, di * sizeof(float));
-      std::memcpy(noise_in + di, vad_state, vn * sizeof(float));
+      std::memcpy(noise_in + di, vad_state_, vn * sizeof(float));
       std::memcpy(noise_in + di + vn, features, kNbFeatures * sizeof(float));
-      GruApply(noise_state, m.noise_gru, noise_in);
+      GruApply(noise_state_, m.noise_gru, noise_in);
       int nn = m.noise_gru.nb_neurons;
-      std::memcpy(den_in, vad_state, vn * sizeof(float));
-      std::memcpy(den_in + vn, noise_state, nn * sizeof(float));
+      std::memcpy(den_in, vad_state_, vn * sizeof(float));
+      std::memcpy(den_in + vn, noise_state_, nn * sizeof(float));
       std::memcpy(den_in + vn + nn, features, kNbFeatures * sizeof(float));
-      GruApply(denoise_state, m.denoise_gru, den_in);
-      DenseApply(gains, m.denoise_output, denoise_state);
+      GruApply(denoise_state_, m.denoise_gru, den_in);
+      DenseApply(gains, m.denoise_output, denoise_state_);
 
       // --- pitch comb filter (C17) ---------------------------------------
       float r[kNbBands];
@@ -824,8 +823,8 @@ struct DenoiseState::Impl {
 
       // --- gain hangover + application (C23) ------------------------------
       for (int b = 0; b < kNbBands; ++b) {
-        gains[b] = std::max(gains[b], 0.6f * lastg[b]);
-        lastg[b] = gains[b];
+        gains[b] = std::max(gains[b], 0.6f * lastg_[b]);
+        lastg_[b] = gains[b];
       }
       InterpBandGain(gf, gains);
       for (int i = 0; i < kFreqSize; ++i) {
@@ -837,24 +836,11 @@ struct DenoiseState::Impl {
     // --- synthesis: inverse transform + overlap-add (C18) -----------------
     float y[kWindowSize];
     InverseTransform(y, xre, xim);
-    for (int i = 0; i < kFrameSize; ++i) out[i] = y[i] + synthesis_mem[i];
-    for (int i = 0; i < kFrameSize; ++i) synthesis_mem[i] = y[kFrameSize + i];
+    for (int i = 0; i < kFrameSize; ++i) out[i] = y[i] + synthesis_mem_[i];
+    for (int i = 0; i < kFrameSize; ++i) synthesis_mem_[i] = y[kFrameSize + i];
     return vad;
   }
-};
 
-DenoiseState::DenoiseState(const RnnModel* model)
-    : impl_(std::make_unique<Impl>(model)) {}
-
-DenoiseState::~DenoiseState() = default;
-
-float DenoiseState::ProcessFrame(float* out, const float* in) {
-  return impl_->Process(out, in);
-}
-
-void DenoiseState::Reset() { impl_->Reset(); }
 
 }  // namespace nnt
 
-// Out-of-line destructor for the pimpl.
-// (unique_ptr<Impl> needs the complete type here.)

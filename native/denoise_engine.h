@@ -42,6 +42,13 @@ constexpr int kNbDeltaCeps = 6;
 constexpr int kNbFeatures = kNbBands + 3 * kNbDeltaCeps + 2;  // 42
 constexpr float kWeightsScale = 1.0f / 256.0f;
 
+// Hard upper bound on neurons per layer: the engine uses fixed-size state
+// and scratch buffers, and the parser rejects models above this (the stock
+// topology tops out at 96).  Also bounds every concat input
+// (96 + 96 + 42 < kMaxConcatInputs).
+constexpr int kMaxNeurons = 96;
+constexpr int kMaxConcatInputs = 256;
+
 // ---- model ---------------------------------------------------------------
 
 enum class Activation : int { kTanh = 0, kSigmoid = 1, kRelu = 2 };
@@ -80,12 +87,14 @@ struct RnnModel {
 
 // ---- engine --------------------------------------------------------------
 
+// Flat, trivially-destructible state: no heap allocations, so the C ABI's
+// caller-managed-storage contract (rnnoise_get_size / rnnoise_init on a
+// user-provided block) holds exactly (reference surface src/capi.rs).
 class DenoiseState {
  public:
   // model == nullptr selects the built-in default weights.  When `model` is
   // non-null the caller keeps ownership and must outlive this state.
   explicit DenoiseState(const RnnModel* model = nullptr);
-  ~DenoiseState();
 
   // Denoise one 480-sample frame (f32 samples in the i16 range).
   // Returns the voice-activity probability.  in/out may alias.
@@ -94,8 +103,22 @@ class DenoiseState {
   void Reset();
 
  private:
-  struct Impl;
-  std::unique_ptr<Impl> impl_;
+  const RnnModel* model_;
+
+  // Recurrent state (the 7 carries of SURVEY.md §5).
+  float input_mem_[kPitchBufSize];
+  float hp_mem_[2];  // f32 state, f64 per-sample arithmetic
+  float cepstral_mem_[kCepsMem][kNbBands];
+  int mem_id_;
+  float synthesis_mem_[kFrameSize];
+  float vad_state_[kMaxNeurons];
+  float noise_state_[kMaxNeurons];
+  float denoise_state_[kMaxNeurons];
+  float lastg_[kNbBands];
+  int last_period_;
+  float last_gain_;
+
+  void TransformAtLag(float* re, float* im, float* bande, int lag);
 };
 
 // Default embedded model (parsed once, shared).

@@ -81,8 +81,13 @@ def main(argv=None) -> int:
         samples = resample_to_48k(samples, int(rate))
 
     if args.engine == "native":
-        from .native import NativeDenoiseState, NativeModel
+        try:
+            from .native import NativeModel, denoise_audio_native, load_library
 
+            load_library()
+        except Exception as e:
+            print(f"error: native engine unavailable: {e}", file=sys.stderr)
+            return 1
         nmodel = None
         if args.model:
             try:
@@ -91,14 +96,13 @@ def main(argv=None) -> int:
             except Exception as e:
                 print(f"error: failed to load model {args.model}: {e}", file=sys.stderr)
                 return 1
-        outs = []
-        for ch in range(samples.shape[1]):
-            sig = np.ascontiguousarray(samples[:, ch])
-            t = len(sig) // FRAME_SIZE
-            st = NativeDenoiseState(nmodel)
-            o, _ = st.process_frames(sig[: t * FRAME_SIZE].reshape(t, FRAME_SIZE))
-            outs.append(o.reshape(-1)[FRAME_SIZE:])
-        out = np.stack(outs, axis=1)
+        out = np.stack(
+            [
+                denoise_audio_native(np.ascontiguousarray(samples[:, ch]), nmodel)
+                for ch in range(samples.shape[1])
+            ],
+            axis=1,
+        )
     else:
         if args.model:
             try:

@@ -33,10 +33,11 @@ _LIB: Optional[ctypes.CDLL] = None
 
 
 def _build_library() -> pathlib.Path:
-    lib = _NATIVE_DIR / "libnnt_denoise.so"
-    if not lib.exists():
-        subprocess.run(["make", "-s"], cwd=_NATIVE_DIR, check=True)
-    return lib
+    # Always invoke make: its dependency rules make this a cheap no-op when
+    # the library is current, and it rebuilds after C++ source edits instead
+    # of silently loading a stale binary.
+    subprocess.run(["make", "-s"], cwd=_NATIVE_DIR, check=True)
+    return _NATIVE_DIR / "libnnt_denoise.so"
 
 
 def load_library() -> ctypes.CDLL:

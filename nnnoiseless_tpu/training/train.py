@@ -118,24 +118,46 @@ def load_h5(path: str, window: int = 2000):
 
 def save_checkpoint(path, state: TrainState) -> None:
     """Write an orbax checkpoint of the full training state (mid-training
-    resume — the reference only saves final weights, rnn_train.py:131-135)."""
+    resume — the reference only saves final weights, rnn_train.py:131-135).
+
+    Each save goes to its own ``step_<n>`` subdirectory; nothing else in the
+    directory is ever touched or deleted, and an interrupted save cannot
+    clobber the previous checkpoint.
+    """
+    import pathlib
+
     import orbax.checkpoint as ocp
 
+    step_dir = pathlib.Path(path).resolve() / f"step_{int(state.step):08d}"
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(
-            ocp.test_utils.erase_and_create_empty(str(path)) / "state",
-            jax.device_get(state),
-        )
+        # force=True only replaces this step's own directory (e.g. the final
+        # save landing on the same step as a periodic one).
+        ckptr.save(step_dir, jax.device_get(state), force=True)
+
+
+def latest_checkpoint(path):
+    """The newest ``step_<n>`` checkpoint directory under ``path``, or None."""
+    import pathlib
+
+    steps = sorted(pathlib.Path(path).resolve().glob("step_*"))
+    return steps[-1] if steps else None
 
 
 def restore_checkpoint(path, template: TrainState) -> TrainState:
-    import orbax.checkpoint as ocp
+    """Restore from a checkpoint dir: either one ``step_<n>`` directory or a
+    parent produced by :func:`save_checkpoint` (newest step wins)."""
     import pathlib
 
+    import orbax.checkpoint as ocp
+
+    p = pathlib.Path(path).resolve()
+    if not p.name.startswith("step_"):
+        newest = latest_checkpoint(p)
+        if newest is None:
+            raise FileNotFoundError(f"no step_* checkpoints under {p}")
+        p = newest
     with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(
-            pathlib.Path(path).resolve() / "state", jax.device_get(template)
-        )
+        restored = ckptr.restore(p, jax.device_get(template))
     return jax.tree_util.tree_map(jnp.asarray, restored)
 
 

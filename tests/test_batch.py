@@ -53,6 +53,11 @@ def test_batch_of_distinct_streams(testing_raw, default_model):
         if denom > 0:
             corr = np.sum(batched[b] * single) / denom
             assert corr > 1 - 1e-5, f"stream {b}: corr {corr}"
+        # a broad regression (noise floor on every sample) must still fire:
+        # only a small fraction of samples may exceed 1 i16 unit, and none
+        # may exceed 50 (a +-1 pitch-lag flip perturbs locally, not grossly).
+        diff = np.abs(batched[b] - single)
+        assert np.mean(diff > 1.0) < 0.02, f"stream {b}: {np.mean(diff > 1.0)}"
         np.testing.assert_allclose(batched[b], single, atol=50.0)
 
 

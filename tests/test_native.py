@@ -13,7 +13,7 @@ import pytest
 from nnnoiseless_tpu import FRAME_SIZE
 
 pytestmark = pytest.mark.skipif(
-    shutil.which("g++") is None and shutil.which("make") is None,
+    shutil.which("g++") is None or shutil.which("make") is None,
     reason="no C++ toolchain",
 )
 

@@ -178,3 +178,30 @@ def test_checkpoint_roundtrip(tmp_path):
     assert len(flat1) == len(flat2)
     for a, b in zip(flat1, flat2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_never_deletes_unrelated_files(tmp_path):
+    """Periodic saves must not touch other files in the checkpoint dir."""
+    import jax
+
+    from nnnoiseless_tpu.training.train import (
+        init_train_state,
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    ckpt = tmp_path / "ckpts"
+    ckpt.mkdir()
+    precious = ckpt / "precious.txt"
+    precious.write_text("do not delete")
+
+    s0 = init_train_state(jax.random.PRNGKey(0))
+    save_checkpoint(ckpt, s0)
+    s1 = s0._replace(step=s0.step + 7)
+    save_checkpoint(ckpt, s1)
+
+    assert precious.read_text() == "do not delete"
+    assert latest_checkpoint(ckpt).name == "step_00000007"
+    restored = restore_checkpoint(ckpt, init_train_state(jax.random.PRNGKey(1)))
+    assert int(restored.step) == 7
