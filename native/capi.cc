@@ -96,6 +96,24 @@ void nnt_process_frames(DenoiseState* st, float* out, const float* in,
   }
 }
 
+// Host-side training-data augmentation (the reference's `train` binary is
+// native, src/training.rs:397-400): biquad with f32-rounded state and f64
+// inner arithmetic, applied in place.
+void nnt_biquad_inplace(float* x, int n, const float* a, const float* b,
+                        float* mem) {
+  double a0 = a[0], a1 = a[1], b0 = b[0], b1 = b[1];
+  float m0 = mem[0], m1 = mem[1];
+  for (int i = 0; i < n; ++i) {
+    double xi = x[i];
+    double y = xi + m0;
+    m0 = static_cast<float>(m1 + (b0 * xi - a0 * y));
+    m1 = static_cast<float>(b1 * xi - a1 * y);
+    x[i] = static_cast<float>(y);
+  }
+  mem[0] = m0;
+  mem[1] = m1;
+}
+
 RNNModel* nnt_model_from_bytes(const unsigned char* data, size_t len) {
   auto model = nnt::RnnModel::FromBytes(data, len);
   return reinterpret_cast<RNNModel*>(model.release());

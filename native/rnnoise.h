@@ -55,6 +55,11 @@ void nnt_process_frames(DenoiseState *st, float *out, const float *in,
 
 RNNModel *nnt_model_from_bytes(const unsigned char *data, size_t len);
 
+/* In-place biquad for host-side training augmentation (f32 state, f64
+ * arithmetic; reference src/training.rs:397-400 semantics). */
+void nnt_biquad_inplace(float *x, int n, const float a[2], const float b[2],
+                        float mem[2]);
+
 #ifdef __cplusplus
 }
 #endif

@@ -110,8 +110,50 @@ class SignalReader:
         return out
 
 
+_NATIVE_BIQUAD = None  # lazily resolved; False = unavailable
+
+
 def _biquad_np(data: np.ndarray, mem: np.ndarray, a, b) -> np.ndarray:
-    """In-place-style host biquad (training augmentation, util.rs:114-126)."""
+    """Host biquad for augmentation (training.rs:397-400 / util.rs:114-126).
+
+    Uses the native engine's ``nnt_biquad_inplace`` when the C++ toolchain
+    is available (the reference's generator is a native binary; the Python
+    loop below is the portable fallback, ~100x slower).
+    """
+    global _NATIVE_BIQUAD
+    if _NATIVE_BIQUAD is None:
+        try:
+            import ctypes
+
+            from ..native import load_library
+
+            lib = load_library()
+            lib.nnt_biquad_inplace.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+            ]
+            _NATIVE_BIQUAD = lib.nnt_biquad_inplace
+        except Exception:
+            _NATIVE_BIQUAD = False
+    if _NATIVE_BIQUAD:
+        import ctypes
+
+        fp = ctypes.POINTER(ctypes.c_float)
+        out = np.ascontiguousarray(data, np.float32).copy()
+        a32 = np.ascontiguousarray(a, np.float32)
+        b32 = np.ascontiguousarray(b, np.float32)
+        _NATIVE_BIQUAD(
+            out.ctypes.data_as(fp),
+            len(out),
+            a32.ctypes.data_as(fp),
+            b32.ctypes.data_as(fp),
+            mem.ctypes.data_as(fp),
+        )
+        return out
+
     out = np.empty_like(data)
     m0, m1 = float(mem[0]), float(mem[1])
     a0, a1, b0, b1 = float(a[0]), float(a[1]), float(b[0]), float(b[1])

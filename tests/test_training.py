@@ -205,3 +205,29 @@ def test_checkpoint_never_deletes_unrelated_files(tmp_path):
     assert latest_checkpoint(ckpt).name == "step_00000007"
     restored = restore_checkpoint(ckpt, init_train_state(jax.random.PRNGKey(1)))
     assert int(restored.step) == 7
+
+
+def test_native_augmentation_biquad_matches_python():
+    """nnt_biquad_inplace must match the Python fallback exactly."""
+    import nnnoiseless_tpu.training.data as data_mod
+
+    rng = np.random.RandomState(4)
+    x = (rng.randn(960) * 5000).astype(np.float32)
+    a = np.array([0.3, -0.2], np.float32)
+    b = np.array([-0.1, 0.25], np.float32)
+
+    # force the Python path
+    data_mod._NATIVE_BIQUAD = False
+    mem_py = np.zeros(2, np.float32)
+    want = data_mod._biquad_np(x, mem_py, a, b)
+
+    # force (re)resolution of the native path
+    data_mod._NATIVE_BIQUAD = None
+    mem_nat = np.zeros(2, np.float32)
+    got = data_mod._biquad_np(x, mem_nat, a, b)
+    if data_mod._NATIVE_BIQUAD is False:
+        import pytest
+
+        pytest.skip("no native toolchain")
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-3)
+    np.testing.assert_allclose(mem_nat, mem_py, rtol=1e-6, atol=1e-3)
