@@ -36,6 +36,12 @@ def make_mesh(devices: Optional[Sequence] = None, axis_name: str = "dp") -> Mesh
 
 def shard_batch(tree, mesh: Mesh, axis_name: str = "dp"):
     """Place every leaf of a batched pytree with its leading axis sharded."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    if leaves and leaves[0].shape[0] % mesh.devices.size != 0:
+        raise ValueError(
+            f"stream batch {leaves[0].shape[0]} must be divisible by the mesh "
+            f"size {mesh.devices.size}; pad with silent streams or resize"
+        )
     sharding = NamedSharding(mesh, P(axis_name))
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
@@ -61,6 +67,12 @@ def sharded_process_frames(
     """
     mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
     frames = jnp.asarray(frames, jnp.float32)
+    n_dev = mesh.devices.size
+    if frames.shape[0] % n_dev != 0:
+        raise ValueError(
+            f"stream batch {frames.shape[0]} must be divisible by the mesh "
+            f"size {n_dev}; pad with silent streams or resize the batch"
+        )
     sharding = NamedSharding(mesh, P(axis_name))
     frames = jax.device_put(frames, sharding)
     return _sharded_chunk(model.params, model.meta, carry, frames)

@@ -61,3 +61,13 @@ def test_sharded_carry_roundtrip(default_model):
     c1 = init_batch_carry(default_model.meta, b)
     _, out_full, _ = process_frames(default_model, c1, frames)
     np.testing.assert_allclose(two_chunk, np.asarray(out_full), atol=1.0)
+
+
+def test_indivisible_batch_raises(default_model):
+    mesh = make_mesh(jax.devices()[:8])
+    frames = np.zeros((6, 2, FRAME_SIZE), np.float32)  # 6 % 8 != 0
+    with pytest.raises(ValueError, match="divisible"):
+        shard_batch(init_batch_carry(default_model.meta, 6), mesh)
+    carry = init_batch_carry(default_model.meta, 6)  # unsharded carry
+    with pytest.raises(ValueError, match="divisible"):
+        sharded_process_frames(default_model, carry, frames, mesh)
