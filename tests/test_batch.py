@@ -75,7 +75,7 @@ def test_stream_batch_api(default_model):
     sb.reset()
     out_full, vad_full = sb.process(frames)
     np.testing.assert_allclose(
-        np.concatenate([out_a, out_b], axis=1), out_full, atol=1e-3
+        np.concatenate([out_a, out_b], axis=1), out_full, atol=1e-2
     )
 
 
