@@ -91,7 +91,95 @@ def rnn_step(
     """One frame through the full network.
 
     Returns (new_state, gains (...,22), vad_prob (...,)).
+
+    For the standard topology this routes through a ``custom_vmap`` wrapper
+    so the batched program can dispatch to the fused Pallas kernel
+    (ops/rnn_pallas.py, opt-in via NNT_PALLAS_RNN=1).
     """
+    from .rnn_pallas import _flatten_params, standard_topology
+
+    if standard_topology(meta):
+        core = _make_rnn_core(meta)
+        hv, hn, hd, gains, vad = core(
+            _flatten_params(params), state.vad, state.noise, state.denoise, features
+        )
+        return RnnState(hv, hn, hd), gains, vad
+    return _rnn_step_impl(params, meta, state, features)
+
+
+def _unflatten_params(weights: tuple) -> dict:
+    (id_w, id_b, vw_i, vw_r, vw_b, nw_i, nw_r, nw_b, dw_i, dw_r, dw_b,
+     do_w, do_b, vo_w, vo_b) = weights
+    r = lambda x: x.reshape(-1)
+    return {
+        "input_dense": {"w": id_w, "b": r(id_b)},
+        "vad_gru": {"wi": vw_i, "wr": vw_r, "b": r(vw_b)},
+        "noise_gru": {"wi": nw_i, "wr": nw_r, "b": r(nw_b)},
+        "denoise_gru": {"wi": dw_i, "wr": dw_r, "b": r(dw_b)},
+        "denoise_output": {"w": do_w, "b": r(do_b)},
+        "vad_output": {"w": vo_w, "b": r(vo_b)},
+    }
+
+
+import functools  # noqa: E402
+import jax  # noqa: E402  (used by the custom_vmap wrapper below)
+
+
+@functools.lru_cache(maxsize=8)
+def _make_rnn_core(meta: ModelMeta):
+    """A custom_vmap-wrapped core specialized on the (hashable) meta.
+
+    The primal path is the XLA implementation; the batched rule can
+    dispatch to the fused Pallas kernel (ops/rnn_pallas.py) when enabled.
+    """
+    from .rnn_pallas import _BLOCK, meta_acts, rnn_step_pallas
+
+    acts = meta_acts(meta)
+
+    @jax.custom_batching.custom_vmap
+    def core(weights: tuple, hv, hn, hd, f):
+        st, gains, vad = _rnn_step_impl(
+            _unflatten_params(weights), meta, RnnState(hv, hn, hd), f
+        )
+        return st.vad, st.noise, st.denoise, gains, vad
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, weights, hv, hn, hd, f):
+        import os
+
+        w_batched = any(jax.tree_util.tree_leaves(in_batched[0]))
+        states_batched = all(in_batched[1:])
+        use_pallas = (
+            not w_batched
+            and states_batched
+            and os.environ.get("NNT_PALLAS_RNN") == "1"
+            and jax.default_backend() != "cpu"
+            and axis_size % _BLOCK == 0
+        )
+        if use_pallas:
+            (hv2, hn2, hd2), gains, vad = rnn_step_pallas(
+                _unflatten_params(weights), acts, RnnState(hv, hn, hd), f
+            )
+        else:
+            # the XLA implementation broadcasts over the leading batch axis
+            def bcast(x, batched):
+                return x if batched else jnp.broadcast_to(x, (axis_size,) + x.shape)
+
+            hv, hn, hd, f = (
+                bcast(a, b) for a, b in zip((hv, hn, hd, f), in_batched[1:])
+            )
+            st, gains, vad = _rnn_step_impl(
+                _unflatten_params(weights), meta, RnnState(hv, hn, hd), f
+            )
+            hv2, hn2, hd2 = st.vad, st.noise, st.denoise
+        return (hv2, hn2, hd2, gains, vad), (True,) * 5
+
+    return core
+
+
+def _rnn_step_impl(
+    params: dict, meta: ModelMeta, state: RnnState, features: jnp.ndarray
+) -> tuple[RnnState, jnp.ndarray, jnp.ndarray]:
     d = dense_apply(params["input_dense"], meta.input_dense, features)
     vad_h = gru_apply(params["vad_gru"], meta.vad_gru, state.vad, d)
     vad = dense_apply(params["vad_output"], meta.vad_output, vad_h)

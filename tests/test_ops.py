@@ -304,3 +304,33 @@ def test_window_at_lag_variants():
 
     got_vmap = np.asarray(jax.vmap(window_at_lag)(mem, lag))
     np.testing.assert_array_equal(got_vmap, want)
+
+
+def test_rnn_pallas_kernel_matches_xla():
+    """The fused Pallas RNN kernel (interpret mode) must match the XLA cell."""
+    from nnnoiseless_tpu import RnnModel
+    from nnnoiseless_tpu.ops.rnn import RnnState, rnn_step
+    from nnnoiseless_tpu.ops import rnn_pallas as rp
+
+    m = RnnModel.default()
+    rng = np.random.RandomState(13)
+    b = rp._BLOCK  # one block
+    state = RnnState(
+        vad=jnp.asarray(rng.randn(b, 24).astype(np.float32) * 0.5),
+        noise=jnp.asarray(np.maximum(rng.randn(b, 48), 0).astype(np.float32)),
+        denoise=jnp.asarray(rng.randn(b, 96).astype(np.float32) * 0.5),
+    )
+    feats = jnp.asarray((rng.randn(b, 42) * 2).astype(np.float32))
+
+    want_state, want_g, want_v = rnn_step(m.params, m.meta, state, feats)
+
+    weights = rp._flatten_params(m.params)
+    hv, hn, hd, got_g, got_v = rp._rnn_pallas(
+        weights, state.vad, state.noise, state.denoise, feats,
+        rp.meta_acts(m.meta), interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(hv), np.asarray(want_state.vad), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(hn), np.asarray(want_state.noise), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(hd), np.asarray(want_state.denoise), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got_v[:, 0]), np.asarray(want_v), atol=2e-6)
