@@ -96,6 +96,14 @@ void nnt_process_frames(DenoiseState* st, float* out, const float* in,
   }
 }
 
+// Pitch trace after the last processed frame (period in the original-rate
+// domain, gain in [0, 1]) — for lag-exact cross-checks vs the JAX engine.
+void nnt_get_pitch(DenoiseState* st, int* period, float* gain) {
+  const nnt::DenoiseState* e = as_engine(st);
+  if (period) *period = e->last_period();
+  if (gain) *gain = e->last_gain();
+}
+
 // Host-side training-data augmentation (the reference's `train` binary is
 // native, src/training.rs:397-400): biquad with f32-rounded state and f64
 // inner arithmetic, applied in place.

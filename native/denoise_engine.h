@@ -102,6 +102,11 @@ class DenoiseState {
 
   void Reset();
 
+  // Pitch state after the last ProcessFrame (the post-RemoveDoubling period
+  // and gain) — exposed for lag-exact cross-checks against the JAX engine.
+  int last_period() const { return last_period_; }
+  float last_gain() const { return last_gain_; }
+
  private:
   const RnnModel* model_;
 

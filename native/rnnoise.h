@@ -55,6 +55,11 @@ void nnt_process_frames(DenoiseState *st, float *out, const float *in,
 
 RNNModel *nnt_model_from_bytes(const unsigned char *data, size_t len);
 
+/* Pitch state after the last processed frame (post-octave-removal period in
+ * the original-rate domain and gain in [0, 1]); either out-pointer may be
+ * NULL. */
+void nnt_get_pitch(DenoiseState *st, int *period, float *gain);
+
 /* In-place biquad for host-side training augmentation (f32 state, f64
  * arithmetic; reference src/training.rs:397-400 semantics). */
 void nnt_biquad_inplace(float *x, int n, const float a[2], const float b[2],

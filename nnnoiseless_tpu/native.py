@@ -71,6 +71,11 @@ def load_library() -> ctypes.CDLL:
     lib.nnt_model_from_bytes.restype = ctypes.c_void_p
     lib.nnt_model_from_bytes.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
     lib.rnnoise_model_free.argtypes = [ctypes.c_void_p]
+    lib.nnt_get_pitch.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_float),
+    ]
 
     assert lib.rnnoise_get_frame_size() == FRAME_SIZE
     _LIB = lib
@@ -122,6 +127,16 @@ class NativeDenoiseState:
             self._ptr, out.ctypes.data_as(fp), frame.ctypes.data_as(fp)
         )
         return out, float(vad)
+
+    def last_pitch(self) -> tuple[int, float]:
+        """(period, gain) after the last processed frame — the
+        post-octave-removal pitch state, for lag-exact cross-checks."""
+        period = ctypes.c_int(0)
+        gain = ctypes.c_float(0.0)
+        self._lib.nnt_get_pitch(
+            self._ptr, ctypes.byref(period), ctypes.byref(gain)
+        )
+        return int(period.value), float(gain.value)
 
     def process_frames(self, frames) -> tuple[np.ndarray, np.ndarray]:
         """(T, 480) frames in one FFI call -> (out (T, 480), vad (T,))."""

@@ -94,7 +94,9 @@ def rnn_step(
 
     For the standard topology this routes through a ``custom_vmap`` wrapper
     so the batched program can dispatch to the fused Pallas kernel
-    (ops/rnn_pallas.py, opt-in via NNT_PALLAS_RNN=1).
+    (ops/rnn_pallas.py, opt-in via NNT_PALLAS_RNN=1).  Note: ``custom_vmap``
+    has no autodiff rule, so this path is non-differentiable; the trainer
+    uses its own flax network (training/network.py), not this function.
     """
     from .rnn_pallas import _flatten_params, standard_topology
 
@@ -149,6 +151,23 @@ def _make_rnn_core(meta: ModelMeta):
 
         w_batched = any(jax.tree_util.tree_leaves(in_batched[0]))
         states_batched = all(in_batched[1:])
+        if w_batched:
+            # Ensemble use (vmap over params): run the reference impl under
+            # an explicit vmap with per-leaf in_axes — the broadcast path
+            # below assumes unbatched weights.
+            w_axes = jax.tree_util.tree_map(
+                lambda b: 0 if b else None, in_batched[0]
+            )
+            s_axes = tuple(0 if b else None for b in in_batched[1:])
+
+            def call(w, hv_, hn_, hd_, f_):
+                st, gains, vad = _rnn_step_impl(
+                    _unflatten_params(w), meta, RnnState(hv_, hn_, hd_), f_
+                )
+                return st.vad, st.noise, st.denoise, gains, vad
+
+            out = jax.vmap(call, in_axes=(w_axes,) + s_axes)(weights, hv, hn, hd, f)
+            return out, (True,) * 5
         use_pallas = (
             not w_batched
             and states_batched

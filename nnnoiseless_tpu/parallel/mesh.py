@@ -35,13 +35,23 @@ def make_mesh(devices: Optional[Sequence] = None, axis_name: str = "dp") -> Mesh
 
 
 def shard_batch(tree, mesh: Mesh, axis_name: str = "dp"):
-    """Place every leaf of a batched pytree with its leading axis sharded."""
-    leaves = jax.tree_util.tree_leaves(tree)
-    if leaves and leaves[0].shape[0] % mesh.devices.size != 0:
-        raise ValueError(
-            f"stream batch {leaves[0].shape[0]} must be divisible by the mesh "
-            f"size {mesh.devices.size}; pad with silent streams or resize"
-        )
+    """Place every leaf of a batched pytree with its leading axis sharded.
+
+    Every leaf must carry the batch as its leading axis; 0-d leaves cannot
+    be sharded and are rejected explicitly.
+    """
+    for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+        if jnp.ndim(leaf) == 0:
+            raise ValueError(
+                f"leaf {jax.tree_util.keystr(path)} is 0-d and cannot carry "
+                f"a sharded batch axis; batch it (shape (B, ...)) first"
+            )
+        if leaf.shape[0] % mesh.devices.size != 0:
+            raise ValueError(
+                f"stream batch {leaf.shape[0]} of leaf "
+                f"{jax.tree_util.keystr(path)} must be divisible by the mesh "
+                f"size {mesh.devices.size}; pad with silent streams or resize"
+            )
     sharding = NamedSharding(mesh, P(axis_name))
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
