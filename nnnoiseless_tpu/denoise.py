@@ -57,26 +57,30 @@ def _process_chunk(params, meta: ModelMeta, carry: DenoiseCarry, frames):
 def _scan_batch(params, meta: ModelMeta, carry, frames):
     """frames (B, T, 480) -> (carry', out (B, T, 480), vad (B, T)).
 
-    The HP biquad is linear/time-invariant, so the whole chunk is filtered
-    up front in one batched matmul (ops.biquad.biquad_filter_frames); the
-    scan body then runs the prefiltered frame step.  Only the final carry's
-    hp_mem matters for chunk handoff and is patched in afterwards.
+    Two phases (the TPU-native shape of the algorithm, see chunk.py):
+
+    1. everything frame-local — HP filtering, lag-0 spectra/energies/
+       cepstra, pitch whitening/search and the octave-removal tables — is
+       precomputed for ALL frames as large batched MXU ops;
+    2. a lean ``lax.scan`` over frames runs only the carry-coupled
+       remainder (pipeline.frame_step_hoisted).
+
+    Only the final carry's hp_mem matters for chunk handoff and is patched
+    in afterwards.
     """
-    from .ops.biquad import biquad_filter_frames
-    from .pipeline import frame_step_prefiltered
-    from .tables import BIQUAD_HP_A, BIQUAD_HP_B
+    from .chunk import precompute_chunk
+    from .pipeline import frame_step_hoisted
 
-    filtered, hp_out = biquad_filter_frames(
-        frames, carry.feat.hp_mem, tuple(BIQUAD_HP_A), tuple(BIQUAD_HP_B)
-    )
+    pre, hp_out = precompute_chunk(carry.feat.input_mem, carry.feat.hp_mem, frames)
 
-    def step(c, f):  # f: (B, 480) prefiltered
+    def step(c, pre_t):  # pre_t: FramePre slices with leading (B,)
         c2, out, vad = jax.vmap(
-            lambda ci, fi: frame_step_prefiltered(params, meta, ci, fi, ci.feat.hp_mem)
-        )(c, f)
+            lambda ci, pi: frame_step_hoisted(params, meta, ci, pi)
+        )(c, pre_t)
         return c2, (out, vad)
 
-    carry, (out, vad) = jax.lax.scan(step, carry, jnp.swapaxes(filtered, 0, 1))
+    xs = jax.tree_util.tree_map(lambda a: jnp.swapaxes(a, 0, 1), pre)
+    carry, (out, vad) = jax.lax.scan(step, carry, xs)
     carry = carry._replace(feat=carry.feat._replace(hp_mem=hp_out))
     return carry, jnp.swapaxes(out, 0, 1), jnp.swapaxes(vad, 0, 1)
 

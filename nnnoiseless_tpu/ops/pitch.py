@@ -159,31 +159,38 @@ def find_best_pitch(
 
     TPU-first formulation, fully parallel (no scan):
 
-    * the clamped running norm is a max-plus linear recurrence
-      ``u_i = max(u_{i-1} + d_{i-1}, 1)`` whose closed form is
-      ``u_i = max(u_0 + P_i, 1 + P_i - min_{1<=k<=i} P_k)`` with prefix sums
-      ``P`` — one cumsum + one cummin (both log-depth);
+    * in exact arithmetic the clamped running norm is simply
+      ``u_i = 1 + ||y[i:i+length]||^2`` — the ``max(.., 1)`` clamp exists
+      only to guard the reference's sequential f32 add/subtract updates
+      from drifting below 1.  Window norms come from one log-depth cumsum
+      of ``y^2`` (monotone positive prefix sums, differenced per window).
+      The f32 error class matches the reference's own streaming updates
+      (ulp of the running total); a ones-kernel conv would be bit-closer
+      to exact but XLA lowers wide 1-D convs as shifted adds (~10x the
+      cost of the entire pitch search — measured on v5e), so the clamp is
+      kept and the cumsum wins;
     * the streaming top-2 tracker selects exactly the two largest ratios
       (earlier lag wins ties), reproduced by a masked double argmax with
       the reference's sentinel semantics for <2 qualified lags.
 
-    Summation order inside the prefix scans differs from the sequential
-    loop at f32 rounding level; lag decisions on real audio are unaffected
-    (golden oracle + cross-checks vs the sequential native engine).
+    f32 rounding differs from the sequential loop at ulp level; lag
+    decisions on real audio are unaffected (golden oracle + lag-exact
+    cross-check vs the sequential native engine, tests/test_pitch_trace.py).
     """
     n_lags = xcorr.shape[0]
     y2 = y * y
-    ysn0 = _F32(1.0) + jnp.sum(y2[:length])
-    d = y2[length : length + n_lags] - y2[:n_lags]  # post-lag-i norm delta
-    p = jnp.concatenate([jnp.zeros((1,), _F32), jnp.cumsum(d[:-1])])  # (n,)
-    cmin = jax.lax.cummin(p[1:])  # min_{1<=k<=i} P_k, index i-1
-    u_tail = jnp.maximum(ysn0 + p[1:], _F32(1.0) + p[1:] - cmin)
-    u = jnp.concatenate([ysn0[None], u_tail])  # ysn as seen at each lag
+    p = jnp.concatenate([jnp.zeros((1,), _F32), jnp.cumsum(y2)])
+    w = p[length : length + n_lags] - p[:n_lags]  # ||y[i:i+length]||^2
+    u = jnp.maximum(_F32(1.0) + w, _F32(1.0))  # ysn as seen at each lag
 
     qualified = xcorr > _F32(0.0)
     ratio = jnp.where(qualified, (xcorr * xcorr) / u, -jnp.inf)
     best = jnp.argmax(ratio).astype(jnp.int32)
-    ratio2 = ratio.at[best].set(-jnp.inf)
+    # mask via select, not .at[best].set: a batched scatter at a dynamic
+    # per-row index is serialization-bound on TPU
+    ratio2 = jnp.where(
+        jnp.arange(n_lags, dtype=jnp.int32) == best, -jnp.inf, ratio
+    )
     has_second = jnp.any(ratio2 > -jnp.inf)
     any_q = jnp.any(qualified)
     second = jnp.where(
@@ -236,6 +243,41 @@ def pitch_search(pitch_buf: jnp.ndarray) -> jnp.ndarray:
     return 2 * best2 - offset
 
 
+def doubling_tables(
+    x: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Frame-local inputs of octave removal: (corr_full, yy_lookup, xx).
+
+    Pure function of the whitened 2x buffer — no dependence on the
+    cross-frame pitch carry — so the chunk path hoists it out of the scan
+    (computed for all (B, T) frames as batched MXU convs, chunk.py).
+
+    * ``corr_full`` (385,): all lag correlations in one dense pass; the
+      reference computes ~31 dot products at data-dependent lags
+      (pitch.rs:137-221) — per-stream dynamic-slice windows are
+      gather-bound on TPU, while the dense correlation is one MXU conv
+      and each lookup is then a scalar index.
+      ``corr_at(t) = corr_full[384 - t]``.
+    * ``yy_lookup`` (385,): ``max(xx + sum_{k<=i}(x[384-k]^2 - x[864-k]^2), 0)``
+      (the reference's running energy table, pitch.rs:137-142).
+    * ``xx`` (): energy of the 480-sample tail.
+    """
+    max_period = PITCH_MAX_DS  # 384
+    n = PITCH_FRAME_DS  # 480
+    x_tail = x[max_period:]  # x[384:864]
+    corr_full = sliding_dot(x_tail, x, max_period + 1)  # (385,)
+    xx = dot(x_tail, x_tail)
+
+    x2 = x * x
+    i = np.arange(1, max_period + 1)
+    enter = x2[jnp.asarray(max_period - i)]  # x[384-i]^2
+    leave = x2[jnp.asarray(max_period + n - i)]  # x[864-i]^2
+    deltas = enter - leave
+    yy_lookup = jnp.concatenate([xx[None], xx + jnp.cumsum(deltas)])
+    yy_lookup = jnp.maximum(yy_lookup, _F32(0.0))  # (385,)
+    return corr_full, yy_lookup, xx
+
+
 def remove_doubling(
     x: jnp.ndarray,
     pitch_idx: jnp.ndarray,
@@ -247,38 +289,34 @@ def remove_doubling(
     ``x`` is the whitened 2x-downsampled buffer (864,); ``pitch_idx`` is in
     the original-rate domain.  Returns (period, gain) in the original domain.
     """
+    corr_full, yy_lookup, xx = doubling_tables(x)
+    return remove_doubling_from_tables(
+        corr_full, yy_lookup, xx, pitch_idx, last_period, last_gain
+    )
+
+
+def remove_doubling_from_tables(
+    corr_full: jnp.ndarray,
+    yy_lookup: jnp.ndarray,
+    xx: jnp.ndarray,
+    pitch_idx: jnp.ndarray,
+    last_period: jnp.ndarray,
+    last_gain: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """The carry-dependent half of octave removal: the k=2..15 selection
+    loop with the previous frame's continuity bonus (pitch.rs:173-179),
+    operating purely on precomputed tables — scalar selects and gathers,
+    the only pitch work left inside the production scan."""
     min_period = PITCH_MIN_DS  # 30
     max_period = PITCH_MAX_DS  # 384
-    n = PITCH_FRAME_DS  # 480
 
     t0 = jnp.minimum(pitch_idx // 2, max_period - 1)
     prev_period = last_period // 2
 
-    x_tail = x[max_period:]  # x[384:864]
-
-    # All lag correlations in one dense pass: the reference computes ~31
-    # dot products at data-dependent lags (pitch.rs:137-221); per-stream
-    # dynamic-slice windows are gather-bound on TPU (the single hottest
-    # spot of the whole pipeline), while the full 385-lag correlation is
-    # one MXU conv and each lookup is then a scalar index.
-    #   corr_full[s] = dot(x[s : s+480], x_tail),  corr_at(t) = corr_full[384-t]
-    corr_full = sliding_dot(x_tail, x, max_period + 1)  # (385,)
-
     def corr_at(t):
         return corr_full[max_period - t]
 
-    xx = dot(x_tail, x_tail)
     xy0 = corr_at(t0)
-
-    # yy_lookup[i] = max(xx + sum_{k<=i} (x[384-k]^2 - x[864-k]^2), 0)
-    x2 = x * x
-    i = np.arange(1, max_period + 1)
-    enter = x2[jnp.asarray(max_period - i)]  # x[384-i]^2
-    leave = x2[jnp.asarray(max_period + n - i)]  # x[864-i]^2
-    deltas = enter - leave
-    yy_lookup = jnp.concatenate([xx[None], xx + jnp.cumsum(deltas)])
-    yy_lookup = jnp.maximum(yy_lookup, _F32(0.0))  # (385,)
-
     yy0 = yy_lookup[t0]
 
     def pitch_gain(xy, xx_, yy_):

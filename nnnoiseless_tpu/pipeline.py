@@ -108,22 +108,27 @@ def init_carry(meta: ModelMeta) -> DenoiseCarry:
     )
 
 
-def _log_spectrum(ex: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+def log_spectrum(ex: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Floored/followed log band energies (features.rs:147-158).
 
-    Returns (ly (22,), total_energy ()).  The floor chain is sequential over
-    the 22 bands; unrolled statically.
+    ``ex`` is (..., 22); returns (ly (..., 22), total_energy (...,)).  The
+    floor chain is sequential over the 22 bands; unrolled statically and
+    broadcast over any leading axes (the chunk path runs it once for all
+    (B, T) frames, see chunk.py).
     """
     log_max = _F32(-2.0)
     follow = _F32(-2.0)
     ly = []
     for i in range(NB_BANDS):
-        v = jnp.log10(_F32(1e-2) + ex[i])
+        v = jnp.log10(_F32(1e-2) + ex[..., i])
         v = jnp.maximum(jnp.maximum(v, log_max - _F32(7.0)), follow - _F32(1.5))
         log_max = jnp.maximum(log_max, v)
         follow = jnp.maximum(follow - _F32(1.5), v)
         ly.append(v)
-    return jnp.stack(ly), jnp.sum(ex)
+    return jnp.stack(ly, axis=-1), jnp.sum(ex, axis=-1)
+
+
+_log_spectrum = log_spectrum  # back-compat alias
 
 
 def _spectral_variability(cepstral_mem: jnp.ndarray) -> jnp.ndarray:
@@ -171,6 +176,40 @@ def analyze_frame_prefiltered(
     e2 = band_energies(spec2)
     x, p = spec2[0], spec2[1]
     ex, ep = e2[0], e2[1]
+
+    # --- log band energies + silence gate -----------------------------------
+    ly, e = log_spectrum(ex)
+    silence = e < _F32(0.04)
+
+    # --- cepstrum (features.rs:167-169) --------------------------------------
+    ceps = dct22(ly)
+    ceps = ceps.at[0].add(_F32(-12.0)).at[1].add(_F32(-4.0))
+
+    return _finish_analysis(
+        state, input_mem, hp_mem, x, p, ex, ep, silence, ceps, period, pgain
+    )
+
+
+def _finish_analysis(
+    state: FeatureState,
+    input_mem: jnp.ndarray,
+    hp_mem: jnp.ndarray,
+    x: jnp.ndarray,
+    p: jnp.ndarray,
+    ex: jnp.ndarray,
+    ep: jnp.ndarray,
+    silence: jnp.ndarray,
+    ceps: jnp.ndarray,
+    period: jnp.ndarray,
+    pgain: jnp.ndarray,
+) -> tuple[FeatureState, Analysis]:
+    """Shared analysis tail: pitch-correlation features, cepstral shift
+    register + deltas + variability, feature assembly, silence masking.
+
+    Used by both the per-frame path (analyze_frame_prefiltered) and the
+    chunk-hoisted path (frame_step_hoisted), so the two compile to the
+    same math.
+    """
     exp_raw = band_corr(x, p)
     exp = exp_raw / jnp.sqrt(_F32(0.001) + ex * ep)
 
@@ -180,13 +219,7 @@ def analyze_frame_prefiltered(
     f_pitch = f_pitch.at[0].add(_F32(-1.3)).at[1].add(_F32(-0.9))
     f_period = _F32(0.01) * (period.astype(_F32) - _F32(300.0))
 
-    # --- log band energies + silence gate -----------------------------------
-    ly, e = _log_spectrum(ex)
-    silence = e < _F32(0.04)
-
-    # --- cepstrum + shift register + deltas (features.rs:167-194) -----------
-    ceps = dct22(ly)
-    ceps = ceps.at[0].add(_F32(-12.0)).at[1].add(_F32(-4.0))
+    # --- cepstral shift register + deltas (features.rs:170-194) -------------
     new_ceps_mem = jnp.concatenate(
         [ceps[None, :], state.cepstral_mem[:-1]], axis=0
     )
@@ -266,6 +299,67 @@ def frame_step_prefiltered(
     """frame_step for an already HP-filtered frame (see biquad_filter_frames:
     the batched chunk path hoists the filter out of the scan)."""
     feat_state, an = analyze_frame_prefiltered(carry.feat, filtered, hp_mem)
+    return _denoise_tail(params, meta, carry, feat_state, an)
+
+
+class FramePre(NamedTuple):
+    """Frame-local analysis products, hoisted out of the scan (chunk.py).
+
+    In the production scan every field has leading (B, T) axes; inside the
+    scan body (``frame_step_hoisted`` under ``vmap``) they are per-stream
+    per-frame slices with the shapes noted here.
+    """
+
+    filtered: jnp.ndarray  # (480,) HP-filtered frame
+    x: jnp.ndarray  # (2, 481) packed lag-0 spectrum
+    ex: jnp.ndarray  # (22,) band energies of x
+    silence: jnp.ndarray  # () bool, total energy < 0.04
+    ceps: jnp.ndarray  # (22,) cepstrum (DCT of ly, offsets applied)
+    pitch_idx: jnp.ndarray  # () int32, post-search pre-doubling pitch index
+    corr_full: jnp.ndarray  # (385,) dense doubling correlations
+    yy_lookup: jnp.ndarray  # (385,) doubling window energies
+    xx: jnp.ndarray  # () doubling reference energy
+
+
+def frame_step_hoisted(
+    params: dict, meta: ModelMeta, carry: DenoiseCarry, pre: FramePre
+) -> tuple[DenoiseCarry, jnp.ndarray, jnp.ndarray]:
+    """The lean scan body: only the truly sequential work.
+
+    Everything frame-local arrives precomputed in ``pre`` (chunk.py); this
+    body performs just the carry-dependent remainder — octave-removal
+    selection (continuity bonus from the previous frame), the analysis
+    transform at the chosen pitch lag, the cepstral shift register, the
+    RNN, and gain application + synthesis.  ``hp_mem`` is unused here (the
+    chunk filter owns it); the caller patches the final value.
+    """
+    from .ops.pitch import remove_doubling_from_tables
+
+    state = carry.feat
+    input_mem = jnp.concatenate([state.input_mem[FRAME_SIZE:], pre.filtered])
+    period, pgain = remove_doubling_from_tables(
+        pre.corr_full,
+        pre.yy_lookup,
+        pre.xx,
+        pre.pitch_idx,
+        state.pitch_period,
+        state.pitch_gain,
+    )
+    p = forward_transform(window_at_lag(input_mem, period))  # (2, 481)
+    ep = band_energies(p)
+    feat_state, an = _finish_analysis(
+        state,
+        input_mem,
+        state.hp_mem,
+        pre.x,
+        p,
+        pre.ex,
+        ep,
+        pre.silence,
+        pre.ceps,
+        period,
+        pgain,
+    )
     return _denoise_tail(params, meta, carry, feat_state, an)
 
 

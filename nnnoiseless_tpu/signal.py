@@ -22,14 +22,27 @@ Sample = Union[float, Sequence[float]]
 
 
 class DenoiseSignal:
-    """Iterator adapter: ``for sample in DenoiseSignal(samples): ...``"""
+    """Iterator adapter: ``for sample in DenoiseSignal(samples): ...``
+
+    ``latency_frames`` controls the internal buffering: that many 10 ms
+    frames are pulled from the source and denoised in ONE device dispatch
+    (then yielded sample-by-sample).  The reference adapter's per-frame
+    pull costs it nothing (src/signal.rs:90-106, an in-process call); here
+    a device dispatch carries fixed latency (~27 ms through the axon
+    tunnel, docs/PERFORMANCE.md), so real-time streaming requires
+    amortizing >= ~50 frames per dispatch.  Set ``latency_frames=1`` for
+    reference-equivalent minimum latency.
+    """
 
     def __init__(
         self,
         source: Iterable[Sample],
         model: Optional[RnnModel] = None,
         channels: Optional[int] = None,
+        latency_frames: int = 50,
     ):
+        if latency_frames < 1:
+            raise ValueError("latency_frames must be >= 1")
         self._source = iter(source)
         self._first = next(self._source, None)
         if self._first is None:
@@ -45,6 +58,7 @@ class DenoiseSignal:
             self._first is None
             or isinstance(self._first, (int, float, np.floating, np.integer))
         )
+        self._latency = int(latency_frames)
         self._exhausted = False
         self._dropped_first = False
 
@@ -59,34 +73,44 @@ class DenoiseSignal:
 
     from_model = with_model
 
-    def _next_input_frame(self) -> Optional[np.ndarray]:
-        """Pull FRAME_SIZE samples -> (channels, 480) in i16 range, or None."""
-        buf = np.zeros((self._channels, FRAME_SIZE), np.float32)
-        for i in range(FRAME_SIZE):
+    def _next_input_frames(self, max_frames: int) -> Optional[np.ndarray]:
+        """Pull up to ``max_frames`` whole frames -> (channels, m, 480) in
+        i16 range (the last frame zero-padded at source exhaustion), or
+        None when the source is already empty."""
+        buf = np.zeros((self._channels, max_frames * FRAME_SIZE), np.float32)
+        n = 0
+        while n < max_frames * FRAME_SIZE:
             if self._first is not None:
                 s = self._first
                 self._first = None
             else:
                 s = next(self._source, None)
             if s is None:
-                if i == 0:
-                    return None
-                break  # zero-pad the tail
+                self._exhausted = True
+                break
             if self._scalar:
-                buf[0, i] = float(s) * 32768.0
+                buf[0, n] = float(s) * 32768.0
             else:
-                buf[:, i] = np.asarray(s, np.float32) * 32768.0
-        return buf
+                buf[:, n] = np.asarray(s, np.float32) * 32768.0
+            n += 1
+        if n == 0:
+            return None
+        m = -(-n // FRAME_SIZE)  # frames, zero-padded tail
+        return buf[:, : m * FRAME_SIZE].reshape(self._channels, m, FRAME_SIZE)
 
     def __iter__(self) -> Iterator[Sample]:
         while True:
-            frame = self._next_input_frame()
-            if frame is None:
+            frames = self._next_input_frames(self._latency)
+            if frames is None:
                 return
-            out, _vad = self._batch.process(frame[:, None, :])  # (C, 1, 480)
+            out, _vad = self._batch.process(frames)  # (C, m, 480)
+            start = 0
             if not self._dropped_first:
                 self._dropped_first = True
-                continue
-            out = np.clip(out[:, 0, :] / 32768.0, -1.0, 1.0)
-            for i in range(FRAME_SIZE):
-                yield float(out[0, i]) if self._scalar else tuple(out[:, i])
+                start = 1  # fade-in frame (signal.rs:83-87)
+                if frames.shape[1] == 1:
+                    continue
+            flat = out[:, start:, :].reshape(self._channels, -1)
+            flat = np.clip(flat / 32768.0, -1.0, 1.0)
+            for i in range(flat.shape[1]):
+                yield float(flat[0, i]) if self._scalar else tuple(flat[:, i])

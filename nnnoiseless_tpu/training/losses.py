@@ -46,6 +46,20 @@ def msse(y_true, y_pred):
     return jnp.mean(m * d**2, axis=-1)
 
 
+GRU_L2 = 1e-6  # Keras l2(1e-6) on the three GRUs (rnn_train.py:68-73)
+
+
+def l2_regularization(params: dict) -> jnp.ndarray:
+    """Keras kernel/recurrent l2(1e-6) regularizers on the three GRUs
+    (reference train/rnn_train.py:68-73; the dense layers carry none)."""
+    reg = jnp.float32(0.0)
+    for name in ("vad_gru", "noise_gru", "denoise_gru"):
+        for k in ("wi", "wr"):
+            w = params[name][k]
+            reg = reg + jnp.sum(w * w)
+    return GRU_L2 * reg
+
+
 def total_loss(gains_true, gains_pred, vad_true, vad_pred, sample_weight=None):
     """10 * mycost + 0.5 * my_crossentropy, averaged over batch and time."""
     g = gain_loss(gains_true, gains_pred)  # (B, T)

@@ -42,15 +42,29 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def make_optimizer(learning_rate: float = 1e-3) -> optax.GradientTransformation:
-    return optax.adam(learning_rate)
+@functools.lru_cache(maxsize=16)
+def make_optimizer(learning_rate=1e-3) -> optax.GradientTransformation:
+    """Adam with the learning rate held in ``opt_state.hyperparams`` (a
+    float) or driven by an optax schedule (pass the schedule callable).
+
+    ``inject_hyperparams`` puts the lr into the optimizer *state*, so it can
+    be changed mid-run (``state.opt_state.hyperparams['learning_rate']``)
+    without retracing the jitted train step.  Cached so the same spec maps
+    to the same instance (jit treats the optimizer as a static argument).
+    """
+    if callable(learning_rate):  # an optax schedule
+        return optax.adam(learning_rate)
+    return optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate)
 
 
 def init_train_state(
-    key, meta: ModelMeta = DEFAULT_META, learning_rate: float = 1e-3
+    key,
+    meta: ModelMeta = DEFAULT_META,
+    learning_rate=1e-3,
+    optimizer: Optional[optax.GradientTransformation] = None,
 ) -> TrainState:
     params = init_train_params(key, meta)
-    opt = make_optimizer(learning_rate)
+    opt = optimizer if optimizer is not None else make_optimizer(learning_rate)
     return TrainState(params, opt.init(params), jnp.int32(0))
 
 
@@ -60,22 +74,32 @@ def train_step(
     batch: dict,
     sample_weight: Optional[jnp.ndarray],
     meta: ModelMeta,
-    learning_rate: float,
+    optimizer=1e-3,
 ):
     """One SGD step on a batch {features (B,T,42), gains (B,T,22), vad (B,T,1)}.
+
+    ``optimizer`` is static: either a GradientTransformation (whose state
+    must match ``state.opt_state``) or a float learning rate resolved
+    through the :func:`make_optimizer` cache.
 
     Pure and shardable: with the batch sharded over "dp" and params
     replicated, XLA inserts the gradient all-reduce automatically.
     """
+    from .losses import l2_regularization
 
     def loss_fn(params):
         gains_pred, vad_pred = sequence_forward(params, batch["features"], meta)
-        return total_loss(
+        data = total_loss(
             batch["gains"], gains_pred, batch["vad"], vad_pred, sample_weight
         )
+        return data + l2_regularization(params)
 
     loss, grads = jax.value_and_grad(loss_fn)(state.params)
-    opt = make_optimizer(learning_rate)
+    opt = (
+        optimizer
+        if isinstance(optimizer, optax.GradientTransformation)
+        else make_optimizer(optimizer)
+    )
     updates, opt_state = opt.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     params = clip_params(params)  # Keras WeightClip(0.499) constraint
@@ -176,10 +200,27 @@ def fit(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 500,
     resume_from: Optional[str] = None,
+    lr_schedule: Optional[str] = None,
+    total_steps: Optional[int] = None,
+    history: Optional[list] = None,
 ) -> dict:
-    """Train and return float params."""
+    """Train and return float params.
+
+    ``lr_schedule``: None (constant) or "cosine" (cosine decay to 0 over
+    the run).  ``history`` (if given) collects (step, loss) pairs.
+    """
     key = jax.random.PRNGKey(seed)
-    state = init_train_state(key, meta, learning_rate)
+    if lr_schedule == "cosine":
+        n_batches = max(len(features) // batch_size, 1)
+        steps = total_steps or epochs * n_batches
+        optimizer = make_optimizer(
+            optax.cosine_decay_schedule(learning_rate, steps)
+        )
+    elif lr_schedule is None:
+        optimizer = make_optimizer(learning_rate)
+    else:
+        raise ValueError(f"unknown lr_schedule {lr_schedule!r}")
+    state = init_train_state(key, meta, optimizer=optimizer)
     if resume_from:
         state = restore_checkpoint(resume_from, state)
         print(f"resumed from {resume_from} at step {int(state.step)}")
@@ -210,9 +251,11 @@ def fit(
             if batch_sharding is not None:
                 batch = jax.device_put(batch, batch_sharding)
                 sw = jax.device_put(sw, batch_sharding)
-            state, loss = train_step(state, batch, sw, meta, learning_rate)
+            state, loss = train_step(state, batch, sw, meta, optimizer)
             if step % log_every == 0:
                 print(f"epoch {epoch} step {step} loss {float(loss):.5f}")
+            if history is not None:
+                history.append((step, float(loss)))
             step += 1
             if checkpoint_dir and step % checkpoint_every == 0:
                 save_checkpoint(checkpoint_dir, state)
@@ -233,6 +276,10 @@ def main(argv=None):
     ap.add_argument("--checkpoint-dir", default=None, help="orbax checkpoint dir")
     ap.add_argument("--checkpoint-every", type=int, default=500)
     ap.add_argument("--resume", default=None, help="checkpoint dir to resume from")
+    ap.add_argument(
+        "--lr-schedule", default=None, choices=["cosine"],
+        help="cosine-decay the lr to 0 over the run (default: constant)",
+    )
     args = ap.parse_args(argv)
 
     features, gains, vad = load_h5(args.data, args.window)
@@ -248,6 +295,7 @@ def main(argv=None):
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
         resume_from=args.resume,
+        lr_schedule=args.lr_schedule,
     )
     model = export_model(params)
     with open(args.out, "wb") as f:

@@ -24,10 +24,13 @@ def test_batch_of_identical_streams(testing_raw, default_model):
     out1, out4 = np.asarray(out1), np.asarray(out4)
     # Identical streams must agree to float tolerance (XLA does not promise
     # bitwise lane uniformity inside a scanned batched program) and the
-    # batch-4 program must match the batch-1 program.
+    # batch-4 program must match the batch-1 program.  The hoisted chunk
+    # path is batch-stable to ~1e-3 i16 units (measured); 0.1 catches any
+    # decision-level (pitch/silence) divergence, which perturbs by 10s of
+    # units.
     for b in range(1, 4):
-        np.testing.assert_allclose(out4[b], out4[0], atol=1.0, rtol=1e-5)
-    np.testing.assert_allclose(out4[0], out1[0], atol=1.0, rtol=1e-5)
+        np.testing.assert_allclose(out4[b], out4[0], atol=0.1, rtol=1e-5)
+    np.testing.assert_allclose(out4[0], out1[0], atol=0.1, rtol=1e-5)
     np.testing.assert_allclose(
         np.asarray(vad4), np.broadcast_to(np.asarray(vad1), (4, n_frames)), atol=1e-3
     )
@@ -47,18 +50,15 @@ def test_batch_of_distinct_streams(testing_raw, default_model):
     for b in range(3):
         single = denoise_audio(streams[b], default_model, drop_first_frame=False)
         # Different batch sizes compile to different XLA programs whose f32
-        # reduction orders differ; near-tied pitch-lag decisions may move by
-        # +-1 on noise-like streams.  Require near-identity, not bit-equality.
+        # reduction orders differ, but frame-local analysis is hoisted into
+        # batched ops with batch-independent per-row numerics; measured
+        # deviation is ~2e-3 i16 units.  1.0 would already catch a +-1
+        # pitch-lag decision flip (10s of units locally).
         denom = np.sqrt(np.sum(batched[b] ** 2) * np.sum(single**2))
         if denom > 0:
             corr = np.sum(batched[b] * single) / denom
-            assert corr > 1 - 1e-5, f"stream {b}: corr {corr}"
-        # a broad regression (noise floor on every sample) must still fire:
-        # only a small fraction of samples may exceed 1 i16 unit, and none
-        # may exceed 50 (a +-1 pitch-lag flip perturbs locally, not grossly).
-        diff = np.abs(batched[b] - single)
-        assert np.mean(diff > 1.0) < 0.02, f"stream {b}: {np.mean(diff > 1.0)}"
-        np.testing.assert_allclose(batched[b], single, atol=50.0)
+            assert corr > 1 - 1e-6, f"stream {b}: corr {corr}"
+        np.testing.assert_allclose(batched[b], single, atol=1.0)
 
 
 def test_silence_stream_outputs_near_zero(default_model):

@@ -27,6 +27,17 @@ def test_compare_to_reference(testing_raw, reference_output):
     assert err < 1e-4
 
 
+def test_per_sample_parity(testing_raw, reference_output):
+    """BASELINE.md north star: per-sample output within 1e-4 of the Rust
+    reference.  In the i16 domain 1e-4 of full scale is 3.27 units; the
+    measured max deviation is 2 units (CPU and TPU)."""
+    out = denoise_audio(testing_raw, drop_first_frame=True)
+    o = out.astype(np.int16).astype(np.int32)
+    delta = np.abs(reference_output.astype(np.int32) - o)
+    print(f"max per-sample |delta|: {delta.max()} i16 units")
+    assert delta.max() <= 3
+
+
 def test_chunked_equals_oneshot(testing_raw, default_model):
     """Chunked/per-frame processing must match one scanned pass.
 

@@ -22,6 +22,22 @@ def test_mono_equivalence(testing_raw, default_model):
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_signal_full_golden(testing_raw, reference_output):
+    """The analogue of the reference's compare_signal_to_reference
+    (src/lib.rs:215-227): the ENTIRE golden file through the Signal
+    adapter with the x32768 scaling round trip, against the same 1e-4
+    relative-squared-error oracle."""
+    src = testing_raw / 32768.0
+    out = np.fromiter(iter(DenoiseSignal(src)), np.float64) * 32768.0
+    n = min(len(out), len(reference_output))
+    assert n == len(reference_output)  # adapter covers the whole golden file
+    o = out[:n].astype(np.int16).astype(np.float64)
+    ref = reference_output[:n].astype(np.float64)
+    err = np.sum((ref - o) ** 2) / np.sum(o**2)
+    print(f"signal-adapter golden relative squared error: {err:.3e}")
+    assert err < 1e-4
+
+
 def test_multichannel_tuples(default_model):
     rng = np.random.RandomState(0)
     n = 3 * FRAME_SIZE
@@ -31,6 +47,37 @@ def test_multichannel_tuples(default_model):
     assert all(len(s) == 2 for s in out)
     arr = np.asarray(out)
     assert np.all(np.abs(arr) <= 1.0)
+
+
+def test_chunked_dispatch(default_model, monkeypatch):
+    """One device dispatch must cover up to ``latency_frames`` frames (the
+    dispatch-amortization requirement for real-time streaming,
+    docs/PERFORMANCE.md) while producing the same samples."""
+    from nnnoiseless_tpu.denoise import StreamBatch
+
+    calls = []
+    orig = StreamBatch.process
+
+    def spy(self, frames):
+        calls.append(frames.shape)
+        return orig(self, frames)
+
+    monkeypatch.setattr(StreamBatch, "process", spy)
+    n = 7 * FRAME_SIZE
+    src = np.zeros(n, np.float32)
+    out = list(DenoiseSignal(src, default_model, latency_frames=4))
+    assert [c[1] for c in calls] == [4, 3]  # 7 frames in two dispatches
+    assert len(out) == n - FRAME_SIZE  # first frame dropped
+
+
+def test_latency_one_matches_chunked(testing_raw, default_model):
+    """latency_frames=1 (reference-equivalent per-frame pull) and the
+    default chunked mode must produce the same stream."""
+    n = 5 * FRAME_SIZE
+    src = (testing_raw[:n] / 32768.0).astype(np.float64)
+    a = np.asarray(list(DenoiseSignal(src, default_model, latency_frames=1)))
+    b = np.asarray(list(DenoiseSignal(src, default_model, latency_frames=50)))
+    np.testing.assert_allclose(a, b, atol=1e-4)
 
 
 def test_short_source_zero_pads():
