@@ -32,13 +32,15 @@ import jax.numpy as jnp
 
 from .constants import (
     FRAME_SIZE,
+    FREQ_SIZE,
     PITCH_BUF_SIZE,
+    PITCH_MAX_DS,
     PITCH_MAX_PERIOD,
     WINDOW_SIZE,
 )
 from .ops.bands import band_energies, dct22
 from .ops.biquad import biquad_filter_frames
-from .ops.fft import forward_transform
+from .ops.fft import dense_dft_bases, xcorr_dft
 from .ops.pitch import doubling_tables, pitch_search, whiten
 from .pipeline import FramePre, log_spectrum
 from .tables import BIQUAD_HP_A, BIQUAD_HP_B
@@ -51,13 +53,14 @@ def _frame_windows(full: jnp.ndarray, t_count: int, offset: int, length: int,
                    stride: int) -> jnp.ndarray:
     """Stack per-frame windows full[:, offset + t*stride :][... : length].
 
-    Static slices + one stack: (B, L) -> (B, T, length).  Chunk-level, so
-    the copy cost is amortized over the whole scan.
+    Static slices + one stack, TIME-MAJOR: (B, L) -> (T, B, length) — the
+    layout both the frame scan and the fused kernel consume directly.
+    Chunk-level, so the copy cost is amortized over the whole scan.
     """
     return jnp.stack(
         [full[:, offset + t * stride : offset + t * stride + length]
          for t in range(t_count)],
-        axis=1,
+        axis=0,
     )
 
 
@@ -66,7 +69,12 @@ def precompute_chunk(
     hp_mem: jnp.ndarray,  # (B, 2) biquad carry
     frames: jnp.ndarray,  # (B, T, 480) raw input frames
 ) -> tuple[FramePre, jnp.ndarray]:
-    """All frame-local analysis for a chunk. Returns (pre (B,T,...), hp_mem')."""
+    """All frame-local analysis for a chunk.
+
+    Returns (pre, hp_mem') with every FramePre field TIME-MAJOR (T, B, ...)
+    — the layout the frame scan's xs and the fused kernel's streaming
+    blocks both want (Mosaic requires the sequential axis to lead).
+    """
     b, t, _ = frames.shape
     filtered, hp_out = biquad_filter_frames(
         frames, hp_mem, tuple(BIQUAD_HP_A), tuple(BIQUAD_HP_B)
@@ -74,12 +82,17 @@ def precompute_chunk(
     # The filtered signal with history: input_mem at frame t is
     # full[:, 480(t+1) : 480(t+1)+1728].
     full = jnp.concatenate([input_mem, filtered.reshape(b, t * FRAME_SIZE)], axis=1)
+    filtered_tm = _frame_windows(full, t, PITCH_BUF_SIZE, FRAME_SIZE, FRAME_SIZE)
 
     # ---- lag-0 spectra -> band energies -> log spectrum -> cepstra --------
+    # One dense f32 MXU product (window + rfft + wnorm folded into the
+    # basis) instead of the multi-stage CT einsum chain — same bases the
+    # fused frame kernel uses for the pitch-lag transform.
     off0 = FRAME_SIZE + (PITCH_BUF_SIZE - WINDOW_SIZE)  # window end = mem end
-    win0 = _frame_windows(full, t, off0, WINDOW_SIZE, FRAME_SIZE)  # (B,T,960)
-    x = forward_transform(win0)  # (B, T, 2, 481)
-    ex = band_energies(x)  # (B, T, 22)
+    win0 = _frame_windows(full, t, off0, WINDOW_SIZE, FRAME_SIZE)  # (T,B,960)
+    fwd_basis = jnp.asarray(dense_dft_bases()[0])  # (960, 962)
+    x = jnp.matmul(win0, fwd_basis, precision=jax.lax.Precision.HIGHEST)
+    ex = band_energies(x.reshape(t, b, 2, FREQ_SIZE))  # (T, B, 22)
     ly, e = log_spectrum(ex)
     silence = e < _F32(0.04)
     ceps = dct22(ly)
@@ -96,25 +109,30 @@ def precompute_chunk(
     # at ITS OWN start (pitch.rs:455-458); only element 0 differs from the
     # full-signal decimation — recompute it window-locally.
     starts = FRAME_SIZE * (jnp.arange(t, dtype=jnp.int32) + 1)
-    even0 = full[:, starts]  # (B, T) = w[0]
-    odd0 = full[:, starts + 1]  # (B, T) = w[1]
+    even0 = full[:, starts].T  # (T, B) = w[0]
+    odd0 = full[:, starts + 1].T  # (T, B) = w[1]
     x_lp_raw = x_lp_raw.at[..., 0].set((odd0 * _F32(0.5) + even0) * _F32(0.5))
 
-    flat = x_lp_raw.reshape(b * t, _DS_WIN)
+    flat = x_lp_raw.reshape(t * b, _DS_WIN)
     x_lp = jax.vmap(whiten)(flat)
-    search = jax.vmap(pitch_search)(x_lp)
-    pitch_idx = (PITCH_MAX_PERIOD - search).reshape(b, t)
-    corr_full, yy_lookup, xx = jax.vmap(doubling_tables)(x_lp)
+    # The fine-search correlation dot(x_lp[384:], x_lp[i:i+480]) IS the
+    # octave-removal correlation at more lags: compute it ONCE for all
+    # frames via DFTs (grouped 1-D convs lower as shifted adds on TPU) and
+    # share it between both consumers.
+    corr_shared = xcorr_dft(x_lp[:, PITCH_MAX_DS:], x_lp, PITCH_MAX_DS + 1)
+    search = jax.vmap(pitch_search)(x_lp, corr_shared)
+    pitch_idx = (PITCH_MAX_PERIOD - search).reshape(t, b)
+    corr_full, yy_lookup, xx = jax.vmap(doubling_tables)(x_lp, corr_shared)
 
     pre = FramePre(
-        filtered=filtered,
+        filtered=filtered_tm,
         x=x,
         ex=ex,
         silence=silence,
         ceps=ceps,
         pitch_idx=pitch_idx,
-        corr_full=corr_full.reshape(b, t, -1),
-        yy_lookup=yy_lookup.reshape(b, t, -1),
-        xx=xx.reshape(b, t),
+        corr_full=corr_full.reshape(t, b, -1),
+        yy_lookup=yy_lookup.reshape(t, b, -1),
+        xx=xx.reshape(t, b),
     )
     return pre, hp_out

@@ -68,10 +68,24 @@ def _scan_batch(params, meta: ModelMeta, carry, frames):
     Only the final carry's hp_mem matters for chunk handoff and is patched
     in afterwards.
     """
+    import os
+
     from .chunk import precompute_chunk
+    from .ops.frame_kernel import fused_scan_available, run_fused_scan
     from .pipeline import frame_step_hoisted
 
     pre, hp_out = precompute_chunk(carry.feat.input_mem, carry.feat.hp_mem, frames)
+
+    batch = frames.shape[0]
+    use_fused = (
+        os.environ.get("NNT_FUSED", "1") != "0"
+        and jax.default_backend() != "cpu"
+        and fused_scan_available(meta, batch)
+    )
+    if use_fused:
+        carry, out, vad = run_fused_scan(params, meta, carry, pre)
+        carry = carry._replace(feat=carry.feat._replace(hp_mem=hp_out))
+        return carry, out, vad
 
     def step(c, pre_t):  # pre_t: FramePre slices with leading (B,)
         c2, out, vad = jax.vmap(
@@ -79,8 +93,7 @@ def _scan_batch(params, meta: ModelMeta, carry, frames):
         )(c, pre_t)
         return c2, (out, vad)
 
-    xs = jax.tree_util.tree_map(lambda a: jnp.swapaxes(a, 0, 1), pre)
-    carry, (out, vad) = jax.lax.scan(step, carry, xs)
+    carry, (out, vad) = jax.lax.scan(step, carry, pre)  # pre is time-major
     carry = carry._replace(feat=carry.feat._replace(hp_mem=hp_out))
     return carry, jnp.swapaxes(out, 0, 1), jnp.swapaxes(vad, 0, 1)
 

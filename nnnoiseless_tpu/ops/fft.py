@@ -81,8 +81,16 @@ def forward_transform(frame: jnp.ndarray) -> jnp.ndarray:
 
     Matches ``numpy.fft.rfft(frame * window) * wnorm``.
     """
-    w = frame * _WINDOW
-    x = jnp.take(w, _PERM, axis=-1).reshape(frame.shape[:-1] + (_NB, _NA))
+    return rdft_raw(frame * _WINDOW) * _WNORM
+
+
+def rdft_raw(w: jnp.ndarray) -> jnp.ndarray:
+    """Unwindowed, unnormalized real DFT: (..., 960) -> packed (..., 2, 481).
+
+    The two-stage Cooley-Tukey matmul factorization (see module docstring);
+    equals ``numpy.fft.rfft(w)`` bin for bin.
+    """
+    x = jnp.take(w, _PERM, axis=-1).reshape(w.shape[:-1] + (_NB, _NA))
     # stage 1 (real input) over a: Y[b, c] = sum_a x[b, a] W120^{ac}
     yr = jnp.einsum("...ba,ac->...bc", x, _C1, precision=_PREC)
     yi = -jnp.einsum("...ba,ac->...bc", x, _S1, precision=_PREC)
@@ -97,8 +105,8 @@ def forward_transform(frame: jnp.ndarray) -> jnp.ndarray:
     xi = jnp.einsum("...bc,bd->...dc", zi, _C2, precision=_PREC) - jnp.einsum(
         "...bc,bd->...dc", zr, _S2, precision=_PREC
     )
-    flat = jnp.stack([xr, xi], axis=-3).reshape(frame.shape[:-1] + (2, _NA * _NB))
-    return flat[..., :FREQ_SIZE] * _WNORM
+    flat = jnp.stack([xr, xi], axis=-3).reshape(w.shape[:-1] + (2, _NA * _NB))
+    return flat[..., :FREQ_SIZE]
 
 
 def inverse_transform(spectrum: jnp.ndarray) -> jnp.ndarray:
@@ -106,6 +114,14 @@ def inverse_transform(spectrum: jnp.ndarray) -> jnp.ndarray:
 
     The unnormalized hermitian inverse DFT divided by 2 (the reference's
     post-scale), then the synthesis window.
+    """
+    return irdft_raw(spectrum) * (_WINDOW * jnp.float32(0.5))
+
+
+def irdft_raw(spectrum: jnp.ndarray) -> jnp.ndarray:
+    """Unnormalized hermitian inverse DFT: packed (..., 2, 481) -> (..., 960).
+
+    Equals ``numpy.fft.irfft(spec) * 960`` (no 1/N scale, no window).
     """
     shp = spectrum.shape[:-2] + (_NB, _NA)
     # hermitian unfold + [b, a] permutation in one static gather (k = 8a + b)
@@ -128,5 +144,81 @@ def inverse_transform(spectrum: jnp.ndarray) -> jnp.ndarray:
     y_dc = jnp.einsum("...bc,bd->...dc", zr, _C2, precision=_PREC) - jnp.einsum(
         "...bc,bd->...dc", zi, _S2, precision=_PREC
     )
-    y = y_dc.reshape(spectrum.shape[:-2] + (WINDOW_SIZE,))
-    return y * (_WINDOW * jnp.float32(0.5))
+    return y_dc.reshape(spectrum.shape[:-2] + (WINDOW_SIZE,))
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def dense_dft_bases():
+    """Single-matmul DFT bases with the window/normalization chain folded in.
+
+    Returns numpy f32 arrays (computed in f64):
+      F   (960, 962): spec = w960 @ F  ==  window -> rfft -> *wnorm,
+                      packed columns [re(481) | im(481)];
+      IV1 (962, 480), IV2 (962, 480): y = x @ [IV1 | IV2]  ==  unnormalized
+                      hermitian inverse DFT / 2 * window, split at sample
+                      480 so overlap-add needs no lane slicing.
+
+    Used by the fused frame kernel (ops/frame_kernel.py) and the chunk
+    precompute's lag-0 analysis: on the MXU one dense f32 product beats the
+    multi-stage CT einsum chain for throughput, and is bit-tighter than
+    3-pass bf16.
+    """
+    n = np.arange(WINDOW_SIZE)[:, None]
+    k = np.arange(FREQ_SIZE)[None, :]
+    theta = 2.0 * np.pi * n * k / WINDOW_SIZE
+    win = np.asarray(VORBIS_WINDOW, np.float64)[:, None]
+    fwd = np.concatenate(
+        [win * WNORM * np.cos(theta), -win * WNORM * np.sin(theta)], axis=1
+    )  # (960, 962)
+
+    # inverse: y[n] = 0.5*win[n] * (re0 + re480*(-1)^n
+    #                 + sum_{k=1..479} 2*(re_k cos - im_k sin))
+    ck = np.full(FREQ_SIZE, 2.0)
+    ck[0] = ck[-1] = 1.0
+    sk = np.full(FREQ_SIZE, -2.0)
+    sk[0] = sk[-1] = 0.0
+    theta_kn = (
+        2.0
+        * np.pi
+        * np.arange(FREQ_SIZE)[:, None]
+        * np.arange(WINDOW_SIZE)[None, :]
+        / WINDOW_SIZE
+    )
+    winr = 0.5 * np.asarray(VORBIS_WINDOW, np.float64)[None, :]
+    inv = np.concatenate(
+        [winr * ck[:, None] * np.cos(theta_kn), winr * sk[:, None] * np.sin(theta_kn)],
+        axis=0,
+    )  # (962, 960)
+    f32 = lambda m: np.ascontiguousarray(m, np.float32)
+    return (
+        f32(fwd),
+        f32(inv[:, : WINDOW_SIZE // 2]),
+        f32(inv[:, WINDOW_SIZE // 2 :]),
+    )
+
+
+def xcorr_dft(kernel: jnp.ndarray, y: jnp.ndarray, n_lags: int) -> jnp.ndarray:
+    """corr[s] = dot(kernel, y[s : s+len(kernel)]) via 960-point DFTs.
+
+    Batched sliding correlation on the MXU: XLA lowers wide 1-D grouped
+    convolutions as shifted multiply-adds (~kernel_taps passes over the
+    data — measured ~10x the cost of the whole pitch search at production
+    batch), while three CT matmul DFTs are a handful of dense MXU products.
+    Requires len(kernel) + n_lags - 1 <= len(y) <= 960 (no circular wrap).
+    Broadcasts over leading axes.
+    """
+    n = WINDOW_SIZE
+    assert kernel.shape[-1] + n_lags - 1 <= y.shape[-1] <= n
+    pad = lambda v: jnp.concatenate(
+        [v, jnp.zeros(v.shape[:-1] + (n - v.shape[-1],), v.dtype)], axis=-1
+    )
+    xk = rdft_raw(pad(kernel))
+    yk = rdft_raw(pad(y))
+    xr, xi = xk[..., 0, :], xk[..., 1, :]
+    yr, yi = yk[..., 0, :], yk[..., 1, :]
+    # conj(X) * Y
+    prod = jnp.stack([xr * yr + xi * yi, xr * yi - xi * yr], axis=-2)
+    return irdft_raw(prod)[..., :n_lags] * jnp.float32(1.0 / n)

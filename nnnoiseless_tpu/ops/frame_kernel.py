@@ -1,0 +1,548 @@
+"""The fused frame-loop Pallas kernel: the entire scan body in VMEM.
+
+The production engine is precompute (chunk.py, large batched ops) + a
+sequential per-frame remainder.  Expressed as a ``lax.scan``, that
+remainder is dominated not by compute but by XLA's per-iteration staging:
+loop-invariant weights/tables and every carry round-trip HBM<->VMEM each
+iteration (docs/PERFORMANCE.md).  This kernel runs the WHOLE frame loop for
+a block of streams inside one ``pallas_call``:
+
+* grid = (B/block, T) with the frame axis as the minor (sequential)
+  dimension; per-frame precompute slices stream in via BlockSpec indexing
+  (Pallas double-buffers them against compute automatically);
+* the recurrent carries live in the final-carry OUTPUT refs, whose index
+  map is constant in t — so they stay VMEM-resident across all T frames
+  and are flushed to HBM once per block;
+* every weight and table — both DFT bases, band/interp matrices, the DCT,
+  the GRU weights, the tansig table — has a constant index map and is
+  fetched once per block;
+* the analysis/synthesis DFTs are single dense f32 MXU matmuls whose bases
+  fold in the Vorbis window, the ``wnorm`` forward scale, the hermitian
+  unfold and the /2 inverse scale (reference src/features.rs:281-298,
+  263-275).  Spectra stay packed ``[re(481) | im(481)]`` on 962 lanes
+  end-to-end: band energies/correlation use a doubled (962, 22) matrix and
+  gain interpolation a doubled (22, 962) matrix, so no misaligned lane
+  splits occur anywhere;
+* remove_doubling's data-dependent table lookups are one-hot
+  compare-select-reduce rows (the TPU-native gather for per-row dynamic
+  indices), and its //(2k) integer divisions use an exact
+  multiply-by-reciprocal with integer fixup;
+* the pitch-lag window extraction is the 10-step barrel shift of
+  ops/window.py, on the VMEM-resident input history.
+
+Semantics are identical to pipeline.frame_step_hoisted (same reference
+lines); matmuls run at f32 (Precision.HIGHEST), i.e. *tighter* than the
+XLA path's 3-pass bf16.  Golden/per-sample/lag-trace tests gate parity.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import (
+    CEPS_MEM,
+    FRAME_SIZE,
+    FREQ_SIZE,
+    NB_BANDS,
+    NB_DELTA_CEPS,
+    PITCH_BUF_SIZE,
+    PITCH_MAX_DS,
+    PITCH_MIN_DS,
+    WINDOW_SIZE,
+)
+from ..tables import (
+    BAND_CORR_MATRIX,
+    BAND_INTERP_MATRIX,
+    DCT_SCALE,
+    DCT_TABLE,
+    SECOND_CHECK,
+    TANSIG_TABLE,
+    VORBIS_WINDOW,
+    WNORM,
+)
+from .rnn_pallas import _act_k, _flatten_params, _gru_k, _sigmoid_k, _DIMS
+
+_F32 = jnp.float32
+_BLOCK = 128
+_N_ROLL_BITS = 10  # lags < 1024 (PITCH_MAX_PERIOD = 768)
+_PACKED = 2 * FREQ_SIZE  # 962: [re | im]
+_NCORR = PITCH_MAX_DS + 1  # 385 doubling-correlation lags
+_SCALE = 0.00390625  # 1/256 (python float: trace-time constant)
+
+
+# ---------------------------------------------------------------------------
+# trace-time constants (f64 precompute, f32 cast — tables.py convention)
+# ---------------------------------------------------------------------------
+
+
+from .fft import dense_dft_bases as _dft_consts  # F, IV1, IV2 (shared)
+
+
+@functools.lru_cache(maxsize=1)
+def _band_consts():
+    corr2 = np.concatenate([BAND_CORR_MATRIX.T, BAND_CORR_MATRIX.T], axis=0)
+    interp2 = np.concatenate(
+        [BAND_INTERP_MATRIX.T, BAND_INTERP_MATRIX.T], axis=1
+    )
+    f32 = lambda m: np.ascontiguousarray(m, np.float32)
+    return f32(corr2), f32(interp2), np.ascontiguousarray(DCT_TABLE, np.float32)
+
+
+def _div_const(v, d: int):
+    """Exact v // d for int32 v in [0, ~2^23), static d, without integer
+    division (multiply by f32 reciprocal + integer fixup)."""
+    q = jnp.floor(v.astype(_F32) * np.float32(1.0 / d)).astype(jnp.int32)
+    q = q - (q * d > v).astype(jnp.int32)
+    q = q + ((q + 1) * d <= v).astype(jnp.int32)
+    return q
+
+
+def _lookup(table, idx):
+    """Per-row dynamic gather table[row, idx[row]] as a one-hot reduce.
+
+    table (bk, L), idx (bk, 1) int32 -> (bk, 1).  The TPU-native gather:
+    one lane-iota compare + select + row reduction, all VPU."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, table.shape[1]), 1)
+    return jnp.sum(
+        jnp.where(lanes == idx, table, _F32(0.0)), axis=1, keepdims=True
+    )
+
+
+def _remove_doubling_block(corr, yy_lookup, xx, pitch_idx, last_period, last_gain):
+    """remove_doubling_from_tables (ops/pitch.py) on a (bk, .) block.
+
+    corr/yy_lookup (bk, 385), xx/pitch_idx/last_period/last_gain (bk, 1).
+    Returns (period (bk,1) i32, gain (bk,1) f32)."""
+    maxp = PITCH_MAX_DS
+    t0 = jnp.minimum(_div_const(pitch_idx, 2), maxp - 1)
+    prev_period = _div_const(last_period, 2)
+
+    def corr_at(t):
+        return _lookup(corr, maxp - t)
+
+    xy0 = corr_at(t0)
+    yy0 = _lookup(yy_lookup, t0)
+
+    def pitch_gain(xy, yy):
+        return xy / jnp.sqrt(_F32(1.0) + xx * yy)
+
+    g0 = pitch_gain(xy0, yy0)
+    best_xy, best_yy = xy0, yy0
+    t, g = t0, g0
+    stopped = jnp.zeros_like(t0, dtype=jnp.bool_)
+
+    for k in range(2, 16):
+        t1 = _div_const(2 * t0 + k, 2 * k)
+        active = ~stopped & (t1 >= PITCH_MIN_DS)
+        stopped = stopped | (t1 < PITCH_MIN_DS)
+        if k == 2:
+            t1b = jnp.where(t1 + t0 > maxp, t0, t0 + t1)
+        else:
+            t1b = _div_const(2 * SECOND_CHECK[k] * t0 + k, 2 * k)
+        xy = (corr_at(t1) + corr_at(t1b)) * _F32(0.5)
+        yy = (_lookup(yy_lookup, t1) + _lookup(yy_lookup, t1b)) * _F32(0.5)
+        g1 = pitch_gain(xy, yy)
+        adiff = jnp.abs(t1 - prev_period)
+        cont = jnp.where(
+            adiff <= 1,
+            last_gain,
+            jnp.where(
+                (adiff <= 2) & (5 * k * k < t0),
+                last_gain * _F32(0.5),
+                _F32(0.0),
+            ),
+        )
+        thresh = jnp.where(
+            t1 < 3 * PITCH_MIN_DS,
+            jnp.maximum(_F32(0.85) * g0 - cont, _F32(0.4)),
+            jnp.where(
+                t1 < 2 * PITCH_MIN_DS,
+                jnp.maximum(_F32(0.9) * g0 - cont, _F32(0.5)),
+                jnp.maximum(_F32(0.7) * g0 - cont, _F32(0.3)),
+            ),
+        )
+        upd = active & (g1 > thresh)
+        best_xy = jnp.where(upd, xy, best_xy)
+        best_yy = jnp.where(upd, yy, best_yy)
+        t = jnp.where(upd, t1, t)
+        g = jnp.where(upd, g1, g)
+
+    best_xy = jnp.maximum(best_xy, _F32(0.0))
+    pg = jnp.where(
+        best_yy <= best_xy, _F32(1.0), best_xy / (best_yy + _F32(1.0))
+    )
+    c0 = corr_at(t - 1)
+    c1 = corr_at(t)
+    c2 = corr_at(t + 1)
+    offset = jnp.where(
+        c2 - c0 > _F32(0.7) * (c1 - c0),
+        jnp.int32(1),
+        jnp.where(
+            c0 - c2 > _F32(0.7) * (c1 - c2), jnp.int32(-1), jnp.int32(0)
+        ),
+    )
+    pg = jnp.minimum(pg, g)
+    period = jnp.maximum(2 * t + offset, 60)  # PITCH_MIN_PERIOD
+    return period, pg
+
+
+def _make_frame_kernel(acts: tuple):
+    a_id, a_vad, a_noise, a_den, a_do, a_vo = acts
+    d_f, d_d, d_v, d_n, d_h = (
+        _DIMS["f"], _DIMS["d"], _DIMS["v"], _DIMS["n"], _DIMS["h"],
+    )
+    nb = NB_BANDS
+    dly = NB_DELTA_CEPS
+
+    def kernel(
+        # consts
+        tab_ref, F_ref, IV1_ref, IV2_ref, CORR2_ref, INTERP2_ref, DCT_ref,
+        id_w, id_b, vw_i, vw_r, vw_b, nw_i, nw_r, nw_b, dw_i, dw_r, dw_b,
+        do_w, do_b, vo_w, vo_b,
+        # initial carries (index i)
+        mem0, synth0, cmem0, hv0, hn0, hd0, lastg0, per0, pgain0,
+        # per-frame xs (index i, t)
+        filt_ref, x_ref, ex_ref, ceps_ref, sil_ref, pidx_ref, xx_ref,
+        corr_ref, yy_ref,
+        # outputs: streamed (index i, t) then resident carries (index i)
+        out_ref, vad_ref,
+        memF, synthF, cmemF, hvF, hnF, hdF, lastgF, perF, pgainF,
+    ):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            memF[:, :] = mem0[:, :]
+            synthF[:, :] = synth0[:, :]
+            cmemF[:, :] = cmem0[:, :]
+            hvF[:, :] = hv0[:, :]
+            hnF[:, :] = hn0[:, :]
+            hdF[:, :] = hd0[:, :]
+            lastgF[:, :] = lastg0[:, :]
+            perF[:, :] = per0[:, :]
+            pgainF[:, :] = pgain0[:, :]
+
+        filt = filt_ref[0, :, :]  # (bk, 480)
+        x = x_ref[0, :, :]  # (bk, 962) packed [re|im]
+        ex = ex_ref[0, :, :]  # (bk, 22)
+        ceps = ceps_ref[0, :, :]  # (bk, 22)
+        sil = sil_ref[0, :, :] > _F32(0.5)  # (bk, 1)
+        pidx = pidx_ref[0, :, :]  # (bk, 1) i32
+        xx = xx_ref[0, :, :]  # (bk, 1)
+        corr = corr_ref[0, :, :]  # (bk, 385)
+        yy = yy_ref[0, :, :]  # (bk, 385)
+
+        # ---- input history shift (features.rs:97-104) --------------------
+        mem = jnp.concatenate([memF[:, FRAME_SIZE:], filt], axis=1)
+        memF[:, :] = mem
+
+        # ---- octave removal (carry-coupled half, pitch.rs:118-221) -------
+        period, pgain = _remove_doubling_block(
+            corr, yy, xx, pidx, perF[:, :], pgainF[:, :]
+        )
+        perF[:, :] = period
+        pgainF[:, :] = pgain
+
+        # ---- pitch-lag window (barrel shift) + forward DFT ---------------
+        w = mem
+        for b in range(_N_ROLL_BITS):
+            rolled = pltpu.roll(w, 1 << b, axis=1)
+            w = jnp.where(((period >> b) & 1) == 1, rolled, w)
+        w960 = w[:, PITCH_BUF_SIZE - WINDOW_SIZE :]
+        p = jnp.dot(
+            w960, F_ref[:, :],
+            preferred_element_type=_F32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (bk, 962)
+
+        def bands(v):  # packed (bk, 962) -> (bk, 22)
+            return jnp.dot(
+                v, CORR2_ref[:, :],
+                preferred_element_type=_F32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        def interp(v):  # (bk, 22) -> packed-broadcast (bk, 962)
+            return jnp.dot(
+                v, INTERP2_ref[:, :],
+                preferred_element_type=_F32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        def dct(v):  # (bk, 22) -> (bk, 22)
+            return jnp.dot(
+                v, DCT_ref[:, :],
+                preferred_element_type=_F32,
+                precision=jax.lax.Precision.HIGHEST,
+            ) * np.float32(DCT_SCALE)
+
+        ep = bands(p * p)
+        exp = bands(x * p) / jnp.sqrt(_F32(0.001) + ex * ep)
+
+        # ---- features (features.rs:139-216) ------------------------------
+        tmp = dct(exp)
+        f_pitch = jnp.concatenate(
+            [
+                tmp[:, 0:1] + _F32(-1.3),
+                tmp[:, 1:2] + _F32(-0.9),
+                tmp[:, 2:dly],
+            ],
+            axis=1,
+        )
+        f_period = _F32(0.01) * (period.astype(_F32) - _F32(300.0))
+
+        cm = cmemF[:, :]  # (bk, 176) rows newest-first
+        new_cm = jnp.concatenate([ceps, cm[:, : (CEPS_MEM - 1) * nb]], axis=1)
+        c0 = ceps[:, :dly]
+        c1 = new_cm[:, nb : nb + dly]
+        c2 = new_cm[:, 2 * nb : 2 * nb + dly]
+        f_sum = c0 + c1 + c2
+        f_d1 = c0 - c2
+        f_d2 = c0 - _F32(2.0) * c1 + c2
+
+        rows = [new_cm[:, i * nb : (i + 1) * nb] for i in range(CEPS_MEM)]
+        min_dist = [None] * CEPS_MEM
+        for i in range(CEPS_MEM):
+            for j in range(CEPS_MEM):
+                if i == j:
+                    continue
+                d = rows[i] - rows[j]
+                dist = jnp.sum(d * d, axis=1, keepdims=True)
+                min_dist[i] = (
+                    dist if min_dist[i] is None else jnp.minimum(min_dist[i], dist)
+                )
+        f_spec = sum(min_dist) / _F32(CEPS_MEM) - _F32(2.1)
+
+        features = jnp.concatenate(
+            [f_sum, ceps[:, dly:nb], f_d1, f_d2, f_pitch, f_period, f_spec],
+            axis=1,
+        )  # (bk, 42)
+        features = jnp.where(sil, _F32(0.0), features)
+        cmemF[:, :] = jnp.where(sil, cm, new_cm)
+
+        # ---- RNN (rnn.rs:343-379; reuses the fused-cell helpers) ---------
+        f = features
+        hv, hn, hd = hvF[:, :], hnF[:, :], hdF[:, :]
+        d = _act_k(
+            _SCALE * (id_b[0, :] + jnp.dot(
+                f, id_w[:, :], preferred_element_type=_F32,
+                precision=jax.lax.Precision.HIGHEST)),
+            a_id, tab_ref,
+        )
+        hv2 = _gru_k(hv, d, vw_i[:, :], vw_r[:, :], vw_b, d_v, a_vad, tab_ref)
+        vad = _act_k(
+            _SCALE * (vo_b[0, :] + jnp.dot(
+                hv2, vo_w[:, :], preferred_element_type=_F32,
+                precision=jax.lax.Precision.HIGHEST)),
+            a_vo, tab_ref,
+        )
+        noise_in = jnp.concatenate([d, hv2, f], axis=-1)
+        hn2 = _gru_k(hn, noise_in, nw_i[:, :], nw_r[:, :], nw_b, d_n, a_noise, tab_ref)
+        den_in = jnp.concatenate([hv2, hn2, f], axis=-1)
+        hd2 = _gru_k(hd, den_in, dw_i[:, :], dw_r[:, :], dw_b, d_h, a_den, tab_ref)
+        gains = _act_k(
+            _SCALE * (do_b[0, :] + jnp.dot(
+                hd2, do_w[:, :], preferred_element_type=_F32,
+                precision=jax.lax.Precision.HIGHEST)),
+            a_do, tab_ref,
+        )
+        hvF[:, :] = jnp.where(sil, hv, hv2)
+        hnF[:, :] = jnp.where(sil, hn, hn2)
+        hdF[:, :] = jnp.where(sil, hd, hd2)
+        vad_ref[0, :, :] = jnp.where(sil, _F32(0.0), vad)
+
+        # ---- comb filter + hangover + gain (features.rs:223-257,
+        #      denoise.rs:102-112) -----------------------------------------
+        g_sq = gains * gains
+        exp_sq = exp * exp
+        r = jnp.where(
+            exp > gains,
+            _F32(1.0),
+            exp_sq * (_F32(1.0) - g_sq)
+            / (_F32(0.001) + g_sq * (_F32(1.0) - exp_sq)),
+        )
+        r = jnp.sqrt(jnp.clip(r, _F32(0.0), _F32(1.0)))
+        r = r * jnp.sqrt(ex / (_F32(1e-8) + ep))
+        x1 = x + p * interp(r)
+        new_e = bands(x1 * x1)
+        x_comb = x1 * interp(jnp.sqrt(ex / (_F32(1e-8) + new_e)))
+
+        lastg = lastgF[:, :]
+        g2 = jnp.maximum(gains, _F32(0.6) * lastg)
+        x_gained = x_comb * interp(g2)
+        x_final = jnp.where(sil, x, x_gained)
+        lastgF[:, :] = jnp.where(sil, lastg, g2)
+
+        # ---- synthesis: inverse DFT + overlap-add (features.rs:263-275) --
+        head = jnp.dot(
+            x_final, IV1_ref[:, :],
+            preferred_element_type=_F32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (bk, 480)
+        tail = jnp.dot(
+            x_final, IV2_ref[:, :],
+            preferred_element_type=_F32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (bk, 480)
+        out_ref[0, :, :] = head + synthF[:, :]
+        synthF[:, :] = tail
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("acts", "block", "interpret")
+)
+def frame_loop_pallas(
+    weights: tuple,
+    carry_arrays: tuple,
+    pre_arrays: tuple,
+    acts: tuple,
+    block: int = _BLOCK,
+    interpret: bool = False,
+):
+    """Run the full frame loop. See _scan_batch for the dispatch wrapper.
+
+    carry_arrays: (mem (B,1728), synth (B,480), cmem (B,176), hv, hn, hd,
+                   lastg (B,22), period (B,1) i32, pgain (B,1))
+    pre_arrays:   TIME-MAJOR (Mosaic block constraint: the last two dims of
+                  a block must be (div 8, div 128) or full, so the frame
+                  axis leads): (filtered (T,B,480), x (T,B,962),
+                  ex (T,B,22), ceps (T,B,22), sil (T,B,1) f32,
+                  pidx (T,B,1) i32, xx (T,B,1), corr (T,B,385),
+                  yy (T,B,385))
+    Returns (out (T,B,480), vad (T,B,1), new_carry_arrays).
+    """
+    t = pre_arrays[0].shape[0]
+    b = pre_arrays[0].shape[1]
+    assert b % block == 0, (b, block)
+    grid = (b // block, t)
+
+    fwd, iv1, iv2 = _dft_consts()
+    corr2, interp2, dctm = _band_consts()
+    tab = jnp.asarray(TANSIG_TABLE)
+
+    const_in = (
+        jnp.asarray(fwd), jnp.asarray(iv1), jnp.asarray(iv2),
+        jnp.asarray(corr2), jnp.asarray(interp2), jnp.asarray(dctm),
+    )
+
+    def cspec(arr):  # whole-array const, never re-fetched
+        shape = arr.shape
+        return pl.BlockSpec(
+            shape, lambda i, tt: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
+    def carry_spec(arr):  # (B, k) -> (block, k) at row-block i
+        return pl.BlockSpec(
+            (block, arr.shape[1]), lambda i, tt: (i, 0), memory_space=pltpu.VMEM
+        )
+
+    def xs_spec(arr):  # (T, B, k) -> (1, block, k) at (t, i)
+        return pl.BlockSpec(
+            (1, block, arr.shape[2]),
+            lambda i, tt: (tt, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    in_specs = (
+        [smem_spec]
+        + [cspec(a) for a in const_in]
+        + [cspec(w) for w in weights]
+        + [carry_spec(a) for a in carry_arrays]
+        + [xs_spec(a) for a in pre_arrays]
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((t, b, FRAME_SIZE), jnp.float32),  # out
+        jax.ShapeDtypeStruct((t, b, 1), jnp.float32),  # vad
+    ) + tuple(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in carry_arrays)
+    out_specs = (
+        xs_spec(out_shape[0]),
+        xs_spec(out_shape[1]),
+    ) + tuple(carry_spec(a) for a in carry_arrays)
+
+    outs = pl.pallas_call(
+        _make_frame_kernel(acts),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        # ~19 MB live per program (7.4 MB DFT bases + carries + streamed
+        # frame slices + temporaries) — above the 16 MB default scoped
+        # limit but far under the chip's physical VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(tab, *const_in, *weights, *carry_arrays, *pre_arrays)
+    return outs[0], outs[1], outs[2:]
+
+
+def fused_scan_available(meta, batch: int, block: int = _BLOCK) -> bool:
+    from .rnn_pallas import standard_topology
+
+    return standard_topology(meta) and batch % block == 0
+
+
+def run_fused_scan(params, meta, carry, pre, interpret: bool = False,
+                   block: int = _BLOCK):
+    """Adapter: DenoiseCarry + FramePre (B, T, ...) -> same pytree outputs
+    as the lax.scan path (carry', out (B,T,480), vad (B,T))."""
+    from .rnn_pallas import meta_acts
+    from ..pipeline import DenoiseCarry, FeatureState
+
+    t, b = pre.filtered.shape[0], pre.filtered.shape[1]
+    feat = carry.feat
+    carry_arrays = (
+        feat.input_mem,
+        carry.synthesis_mem,
+        feat.cepstral_mem.reshape(b, CEPS_MEM * NB_BANDS),
+        carry.rnn.vad,
+        carry.rnn.noise,
+        carry.rnn.denoise,
+        carry.lastg,
+        feat.pitch_period.reshape(b, 1).astype(jnp.int32),
+        feat.pitch_gain.reshape(b, 1),
+    )
+    pre_arrays = (  # already time-major (T, B, ...)
+        pre.filtered,
+        pre.x,
+        pre.ex,
+        pre.ceps,
+        pre.silence.astype(jnp.float32).reshape(t, b, 1),
+        pre.pitch_idx.astype(jnp.int32).reshape(t, b, 1),
+        pre.xx.reshape(t, b, 1),
+        pre.corr_full,
+        pre.yy_lookup,
+    )
+    weights = _flatten_params(params)
+    out, vad, cf = frame_loop_pallas(
+        weights, carry_arrays, pre_arrays, meta_acts(meta), block=block,
+        interpret=interpret,
+    )
+    out = jnp.swapaxes(out, 0, 1)  # back to (B, T, 480)
+    vad = jnp.swapaxes(vad, 0, 1)
+    mem, synth, cmem, hv, hn, hd, lastg, per, pg = cf
+    from ..ops.rnn import RnnState
+
+    new_carry = DenoiseCarry(
+        feat=FeatureState(
+            input_mem=mem,
+            hp_mem=feat.hp_mem,  # patched by the caller (chunk-level filter)
+            cepstral_mem=cmem.reshape(b, CEPS_MEM, NB_BANDS),
+            pitch_period=per.reshape(b),
+            pitch_gain=pg.reshape(b),
+        ),
+        synthesis_mem=synth,
+        rnn=RnnState(hv, hn, hd),
+        lastg=lastg,
+    )
+    return new_carry, out, vad.reshape(b, t)

@@ -203,11 +203,19 @@ def find_best_pitch(
     return best, second
 
 
-def pitch_search(pitch_buf: jnp.ndarray) -> jnp.ndarray:
+def pitch_search(
+    pitch_buf: jnp.ndarray, xcorr2_full: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """Two-stage coarse/fine pitch search on the whitened 2x buffer.
 
     Returns the reference's ``2*best_pitch - offset`` (pitch.rs:63-115), an
     int32 in [0, 2*MAX_PITCH/2).
+
+    ``xcorr2_full`` (>= 294 lags) may be supplied by the caller: the fine
+    stage's dense correlation ``dot(x[384:864], x[i:i+480])`` is the SAME
+    product octave removal needs at 385 lags (doubling_tables), so the
+    chunk path computes it once via DFTs (ops/fft.py::xcorr_dft) and
+    shares it between both consumers.
     """
     x_lp = pitch_buf[PITCH_MAX_DS:]  # (480,)
     # 4x-downsampled views
@@ -221,7 +229,10 @@ def pitch_search(pitch_buf: jnp.ndarray) -> jnp.ndarray:
     # Fine: all 294 lags as one dense product, masked to the reference's
     # candidate set (within ±2 of 2*best or 2*second), values clamped >= -1.
     n_fine = MAX_PITCH // 2
-    xcorr2_full = sliding_dot(x_lp, pitch_buf, n_fine)
+    if xcorr2_full is None:
+        xcorr2_full = sliding_dot(x_lp, pitch_buf, n_fine)
+    else:
+        xcorr2_full = xcorr2_full[:n_fine]
     lags = jnp.arange(n_fine, dtype=jnp.int32)
     near = (jnp.abs(lags - 2 * best4) <= 2) | (jnp.abs(lags - 2 * second4) <= 2)
     xcorr2 = jnp.where(near, jnp.maximum(xcorr2_full, _F32(-1.0)), _F32(0.0))
@@ -244,7 +255,7 @@ def pitch_search(pitch_buf: jnp.ndarray) -> jnp.ndarray:
 
 
 def doubling_tables(
-    x: jnp.ndarray,
+    x: jnp.ndarray, corr_full: jnp.ndarray | None = None
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Frame-local inputs of octave removal: (corr_full, yy_lookup, xx).
 
@@ -265,7 +276,8 @@ def doubling_tables(
     max_period = PITCH_MAX_DS  # 384
     n = PITCH_FRAME_DS  # 480
     x_tail = x[max_period:]  # x[384:864]
-    corr_full = sliding_dot(x_tail, x, max_period + 1)  # (385,)
+    if corr_full is None:
+        corr_full = sliding_dot(x_tail, x, max_period + 1)  # (385,)
     xx = dot(x_tail, x_tail)
 
     x2 = x * x

@@ -305,13 +305,15 @@ def frame_step_prefiltered(
 class FramePre(NamedTuple):
     """Frame-local analysis products, hoisted out of the scan (chunk.py).
 
-    In the production scan every field has leading (B, T) axes; inside the
-    scan body (``frame_step_hoisted`` under ``vmap``) they are per-stream
-    per-frame slices with the shapes noted here.
+    In the production chunk every field is TIME-MAJOR with leading (T, B)
+    axes (the layout both the scan's xs and the fused Pallas kernel's
+    streaming blocks consume); inside the scan body (``frame_step_hoisted``
+    under ``vmap``) they are per-stream per-frame slices with the shapes
+    noted here.
     """
 
     filtered: jnp.ndarray  # (480,) HP-filtered frame
-    x: jnp.ndarray  # (2, 481) packed lag-0 spectrum
+    x: jnp.ndarray  # (962,) packed lag-0 spectrum [re(481) | im(481)]
     ex: jnp.ndarray  # (22,) band energies of x
     silence: jnp.ndarray  # () bool, total energy < 0.04
     ceps: jnp.ndarray  # (22,) cepstrum (DCT of ly, offsets applied)
@@ -347,11 +349,12 @@ def frame_step_hoisted(
     )
     p = forward_transform(window_at_lag(input_mem, period))  # (2, 481)
     ep = band_energies(p)
+    x = pre.x.reshape(pre.x.shape[:-1] + (2, pre.x.shape[-1] // 2))
     feat_state, an = _finish_analysis(
         state,
         input_mem,
         state.hp_mem,
-        pre.x,
+        x,
         p,
         pre.ex,
         ep,

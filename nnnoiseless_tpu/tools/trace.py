@@ -42,8 +42,7 @@ def _pitch_trace_jit(frames: jnp.ndarray):
         return (period, gain), (period, gain)
 
     init = (jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.float32))
-    xs = jax.tree_util.tree_map(lambda a: jnp.swapaxes(a, 0, 1), pre)
-    _, (periods, gains) = jax.lax.scan(step, init, xs)
+    _, (periods, gains) = jax.lax.scan(step, init, pre)  # pre is time-major
     return jnp.swapaxes(periods, 0, 1), jnp.swapaxes(gains, 0, 1)
 
 
