@@ -38,7 +38,7 @@ from .constants import (
     PITCH_MAX_PERIOD,
     WINDOW_SIZE,
 )
-from .ops.bands import band_energies, dct22
+from .ops.bands import band_energies_flat, dct22
 from .ops.biquad import biquad_filter_frames
 from .ops.fft import dense_dft_bases, xcorr_dft
 from .ops.pitch import doubling_tables, pitch_search, whiten
@@ -92,7 +92,7 @@ def precompute_chunk(
     win0 = _frame_windows(full, t, off0, WINDOW_SIZE, FRAME_SIZE)  # (T,B,960)
     fwd_basis = jnp.asarray(dense_dft_bases()[0])  # (960, 962)
     x = jnp.matmul(win0, fwd_basis, precision=jax.lax.Precision.HIGHEST)
-    ex = band_energies(x.reshape(t, b, 2, FREQ_SIZE))  # (T, B, 22)
+    ex = band_energies_flat(x)  # (T, B, 22), no packed reshape
     ly, e = log_spectrum(ex)
     silence = e < _F32(0.04)
     ceps = dct22(ly)

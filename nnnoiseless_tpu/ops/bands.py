@@ -37,6 +37,19 @@ def band_energies(x: jnp.ndarray) -> jnp.ndarray:
     return matmul(power, _CORR.T)
 
 
+_CORR2 = jnp.concatenate([_CORR.T, _CORR.T], axis=0)  # (962, 22)
+
+
+def band_energies_flat(x: jnp.ndarray) -> jnp.ndarray:
+    """Band energies of a flat-packed (..., 962) spectrum [re|im].
+
+    Same result as :func:`band_energies` without the (..., 2, 481)
+    reshape/sum (one matmul against the doubled matrix) — the layout the
+    chunk precompute and the fused kernel carry spectra in.
+    """
+    return matmul(x * x, _CORR2)
+
+
 def interp_band_gain(band_vals: jnp.ndarray) -> jnp.ndarray:
     """Linear interpolation of 22 band values to 481 bins (..., 22)->(...,481).
 

@@ -31,6 +31,9 @@ inside the reference's 1e-4 relative-error oracle (src/lib.rs:184-194).
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -147,9 +150,6 @@ def irdft_raw(spectrum: jnp.ndarray) -> jnp.ndarray:
     return y_dc.reshape(spectrum.shape[:-2] + (WINDOW_SIZE,))
 
 
-import functools
-
-
 @functools.lru_cache(maxsize=1)
 def dense_dft_bases():
     """Single-matmul DFT bases with the window/normalization chain folded in.
@@ -200,25 +200,60 @@ def dense_dft_bases():
     )
 
 
+@functools.lru_cache(maxsize=4)
+def _raw_corr_bases(n_lags: int):
+    """Dense raw DFT bases for batched correlation (f64 -> f32).
+
+    FR (960, 962): packed unwindowed rfft as one matmul.
+    IC (962, n_lags): hermitian inverse restricted to the first n_lags
+    samples with the 1/960 scale folded in — replaces the CT inverse whose
+    hermitian-unfold is a 960-wide lane gather (slow on TPU).
+    """
+    n = np.arange(WINDOW_SIZE)[:, None]
+    k = np.arange(FREQ_SIZE)[None, :]
+    theta = 2.0 * np.pi * n * k / WINDOW_SIZE
+    fr = np.concatenate([np.cos(theta), -np.sin(theta)], axis=1)  # (960, 962)
+
+    ck = np.full(FREQ_SIZE, 2.0)
+    ck[0] = ck[-1] = 1.0
+    sk = np.full(FREQ_SIZE, -2.0)
+    sk[0] = sk[-1] = 0.0
+    lag = np.arange(n_lags)[None, :]
+    theta_kl = 2.0 * np.pi * np.arange(FREQ_SIZE)[:, None] * lag / WINDOW_SIZE
+    ic = (
+        np.concatenate(
+            [ck[:, None] * np.cos(theta_kl), sk[:, None] * np.sin(theta_kl)],
+            axis=0,
+        )
+        / WINDOW_SIZE
+    )  # (962, n_lags)
+    f32 = lambda m: np.ascontiguousarray(m, np.float32)
+    return f32(fr), f32(ic)
+
+
 def xcorr_dft(kernel: jnp.ndarray, y: jnp.ndarray, n_lags: int) -> jnp.ndarray:
     """corr[s] = dot(kernel, y[s : s+len(kernel)]) via 960-point DFTs.
 
     Batched sliding correlation on the MXU: XLA lowers wide 1-D grouped
     convolutions as shifted multiply-adds (~kernel_taps passes over the
     data — measured ~10x the cost of the whole pitch search at production
-    batch), while three CT matmul DFTs are a handful of dense MXU products.
+    batch), while three dense matmul DFTs are plain MXU products.
     Requires len(kernel) + n_lags - 1 <= len(y) <= 960 (no circular wrap).
     Broadcasts over leading axes.
     """
     n = WINDOW_SIZE
     assert kernel.shape[-1] + n_lags - 1 <= y.shape[-1] <= n
-    pad = lambda v: jnp.concatenate(
-        [v, jnp.zeros(v.shape[:-1] + (n - v.shape[-1],), v.dtype)], axis=-1
-    )
-    xk = rdft_raw(pad(kernel))
-    yk = rdft_raw(pad(y))
-    xr, xi = xk[..., 0, :], xk[..., 1, :]
-    yr, yi = yk[..., 0, :], yk[..., 1, :]
-    # conj(X) * Y
-    prod = jnp.stack([xr * yr + xi * yi, xr * yi - xi * yr], axis=-2)
-    return irdft_raw(prod)[..., :n_lags] * jnp.float32(1.0 / n)
+    fr_np, ic_np = _raw_corr_bases(n_lags)
+    fr = jnp.asarray(fr_np)
+    ic = jnp.asarray(ic_np)
+    prec = jax.lax.Precision.HIGHEST
+    xk = jnp.matmul(
+        kernel, fr[: kernel.shape[-1]], precision=prec
+    )  # (..., 962), zero-pad implicit via basis truncation
+    yk = jnp.matmul(y, fr[: y.shape[-1]], precision=prec)
+    h = FREQ_SIZE
+    xr, xi = xk[..., :h], xk[..., h:]
+    yr, yi = yk[..., :h], yk[..., h:]
+    # conj(X) * Y, packed
+    prod = jnp.concatenate([xr * yr + xi * yi, xr * yi - xi * yr], axis=-1)
+    return jnp.matmul(prod, ic, precision=prec)

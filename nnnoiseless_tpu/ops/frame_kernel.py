@@ -23,16 +23,17 @@ a block of streams inside one ``pallas_call``:
   end-to-end: band energies/correlation use a doubled (962, 22) matrix and
   gain interpolation a doubled (22, 962) matrix, so no misaligned lane
   splits occur anywhere;
-* remove_doubling's data-dependent table lookups are one-hot
-  compare-select-reduce rows (the TPU-native gather for per-row dynamic
-  indices), and its //(2k) integer divisions use an exact
+* remove_doubling's data-dependent table lookups are one-hot lane
+  reductions, the tansig table values are recomputed as tanh of the grid
+  point (see _tansig_g), and the //(2k) integer divisions use an exact
   multiply-by-reciprocal with integer fixup;
 * the pitch-lag window extraction is the 10-step barrel shift of
   ops/window.py, on the VMEM-resident input history.
 
 Semantics are identical to pipeline.frame_step_hoisted (same reference
-lines); matmuls run at f32 (Precision.HIGHEST), i.e. *tighter* than the
-XLA path's 3-pass bf16.  Golden/per-sample/lag-trace tests gate parity.
+lines); matmuls run at fp32 contract precision (Mosaic HIGHEST), tighter
+than the XLA path's 3-pass bf16.  Golden/per-sample/lag-trace tests gate
+parity.
 """
 
 from __future__ import annotations
@@ -66,7 +67,7 @@ from ..tables import (
     VORBIS_WINDOW,
     WNORM,
 )
-from .rnn_pallas import _act_k, _flatten_params, _gru_k, _sigmoid_k, _DIMS
+from .rnn_pallas import _flatten_params, _DIMS
 
 _F32 = jnp.float32
 _BLOCK = 128
@@ -106,12 +107,73 @@ def _div_const(v, d: int):
 def _lookup(table, idx):
     """Per-row dynamic gather table[row, idx[row]] as a one-hot reduce.
 
-    table (bk, L), idx (bk, 1) int32 -> (bk, 1).  The TPU-native gather:
-    one lane-iota compare + select + row reduction, all VPU."""
+    table (bk, L), idx (bk, 1) int32 -> (bk, 1).  (Mosaic's hardware
+    ``tpu.dynamic_gather`` crashes this backend's compile helper, so the
+    compare-select-reduce stays.)"""
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, table.shape[1]), 1)
     return jnp.sum(
         jnp.where(lanes == idx, table, _F32(0.0)), axis=1, keepdims=True
     )
+
+
+def _tansig_g(x, tab2d):
+    """tansig_approx on (bk, n) — ops/activations.py semantics (same index
+    grid, cubic correction, clamps, NaN -> 1).
+
+    The table entry tab[i] = f32(tanh(0.04 i)) is recomputed as
+    tanh(0.04 i) on the VPU instead of gathered: a per-element 201-way
+    lookup costs ~200 loop iterations (fori) or a (bk, n, 201) one-hot —
+    both measured dominant — while the recomputation differs from the
+    stored table only at the ~1-ulp level of tanh itself, orders of
+    magnitude inside every parity bar (the *approximation*, which parity
+    does require, is unchanged).  ``tab2d`` is kept for signature parity.
+    """
+    del tab2d
+    sign = jnp.where(x < 0.0, _F32(-1.0), _F32(1.0))
+    ax = jnp.minimum(jnp.abs(jnp.where(jnp.isnan(x), _F32(0.0), x)), _F32(7.99))
+    i = jnp.floor(_F32(0.5) + _F32(25.0) * ax).astype(jnp.int32)
+    frac = ax - _F32(0.04) * i.astype(_F32)
+    y = jnp.tanh(_F32(0.04) * i.astype(_F32))  # == tab[i] +- 1 ulp
+    dy = _F32(1.0) - y * y
+    y = y + frac * dy * (_F32(1.0) - y * frac)
+    out = sign * y
+    out = jnp.where(x > _F32(-8.0), out, _F32(-1.0))
+    return jnp.where(x < _F32(8.0), out, _F32(1.0))
+
+
+def _sigmoid_g(x, tab2d):
+    return _F32(0.5) + _F32(0.5) * _tansig_g(_F32(0.5) * x, tab2d)
+
+
+def _act_g(x, activation, tab2d):
+    if activation == 0:
+        return _tansig_g(x, tab2d)
+    if activation == 1:
+        return _sigmoid_g(x, tab2d)
+    return jnp.maximum(x, _F32(0.0))
+
+
+def _mm(x, w):
+    # Mosaic supports only DEFAULT (single-pass bf16 — ~2^-8, far too
+    # lossy for the per-sample parity bar) and HIGHEST (fp32 contract).
+    return jnp.dot(
+        x, w, preferred_element_type=_F32, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def _gru_g(h, x, wi, wr, b, n, activation, tab2d):
+    gi = _mm(x, wi)
+    rzr = _mm(h, wr[:, : 2 * n])
+    z = _sigmoid_g(_SCALE * (b[0, :n] + gi[:, :n] + rzr[:, :n]), tab2d)
+    r = h * _sigmoid_g(
+        _SCALE * (b[0, n : 2 * n] + gi[:, n : 2 * n] + rzr[:, n:]), tab2d
+    )
+    hh = _act_g(
+        _SCALE * (b[0, 2 * n :] + gi[:, 2 * n :] + _mm(r, wr[:, 2 * n :])),
+        activation,
+        tab2d,
+    )
+    return z * h + (_F32(1.0) - z) * hh
 
 
 def _remove_doubling_block(corr, yy_lookup, xx, pitch_idx, last_period, last_gain):
@@ -192,7 +254,10 @@ def _remove_doubling_block(corr, yy_lookup, xx, pitch_idx, last_period, last_gai
     return period, pg
 
 
-def _make_frame_kernel(acts: tuple):
+def _make_frame_kernel(acts: tuple, skip: tuple = ()):
+    # ``skip`` (profiling only): stub out stages to attribute kernel time —
+    # 'rd' octave removal, 'dft' lagged window+forward DFT, 'rnn', 'feat'
+    # feature assembly, 'comb' comb/gain stage, 'inv' inverse DFT+OLA.
     a_id, a_vad, a_noise, a_den, a_do, a_vo = acts
     d_f, d_d, d_v, d_n, d_h = (
         _DIMS["f"], _DIMS["d"], _DIMS["v"], _DIMS["n"], _DIMS["h"],
@@ -243,44 +308,34 @@ def _make_frame_kernel(acts: tuple):
         memF[:, :] = mem
 
         # ---- octave removal (carry-coupled half, pitch.rs:118-221) -------
-        period, pgain = _remove_doubling_block(
-            corr, yy, xx, pidx, perF[:, :], pgainF[:, :]
-        )
+        if 'rd' in skip:
+            period, pgain = jnp.maximum(pidx, 60), xx * _F32(0.0)
+        else:
+            period, pgain = _remove_doubling_block(
+                corr, yy, xx, pidx, perF[:, :], pgainF[:, :]
+            )
         perF[:, :] = period
         pgainF[:, :] = pgain
 
         # ---- pitch-lag window (barrel shift) + forward DFT ---------------
-        w = mem
-        for b in range(_N_ROLL_BITS):
-            rolled = pltpu.roll(w, 1 << b, axis=1)
-            w = jnp.where(((period >> b) & 1) == 1, rolled, w)
-        w960 = w[:, PITCH_BUF_SIZE - WINDOW_SIZE :]
-        p = jnp.dot(
-            w960, F_ref[:, :],
-            preferred_element_type=_F32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (bk, 962)
+        if 'dft' in skip:
+            p = x
+        else:
+            w = mem
+            for b in range(_N_ROLL_BITS):
+                rolled = pltpu.roll(w, 1 << b, axis=1)
+                w = jnp.where(((period >> b) & 1) == 1, rolled, w)
+            w960 = w[:, PITCH_BUF_SIZE - WINDOW_SIZE :]
+            p = _mm(w960, F_ref[:, :])  # (bk, 962)
 
         def bands(v):  # packed (bk, 962) -> (bk, 22)
-            return jnp.dot(
-                v, CORR2_ref[:, :],
-                preferred_element_type=_F32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            return _mm(v, CORR2_ref[:, :])
 
         def interp(v):  # (bk, 22) -> packed-broadcast (bk, 962)
-            return jnp.dot(
-                v, INTERP2_ref[:, :],
-                preferred_element_type=_F32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            return _mm(v, INTERP2_ref[:, :])
 
         def dct(v):  # (bk, 22) -> (bk, 22)
-            return jnp.dot(
-                v, DCT_ref[:, :],
-                preferred_element_type=_F32,
-                precision=jax.lax.Precision.HIGHEST,
-            ) * np.float32(DCT_SCALE)
+            return _mm(v, DCT_ref[:, :]) * np.float32(DCT_SCALE)
 
         ep = bands(p * p)
         exp = bands(x * p) / jnp.sqrt(_F32(0.001) + ex * ep)
@@ -306,9 +361,12 @@ def _make_frame_kernel(acts: tuple):
         f_d1 = c0 - c2
         f_d2 = c0 - _F32(2.0) * c1 + c2
 
-        rows = [new_cm[:, i * nb : (i + 1) * nb] for i in range(CEPS_MEM)]
+        rows = (
+            [new_cm[:, i * nb : (i + 1) * nb] for i in range(CEPS_MEM)]
+            if 'feat' not in skip else []
+        )
         min_dist = [None] * CEPS_MEM
-        for i in range(CEPS_MEM):
+        for i in range(CEPS_MEM if 'feat' not in skip else 0):
             for j in range(CEPS_MEM):
                 if i == j:
                     continue
@@ -317,41 +375,41 @@ def _make_frame_kernel(acts: tuple):
                 min_dist[i] = (
                     dist if min_dist[i] is None else jnp.minimum(min_dist[i], dist)
                 )
-        f_spec = sum(min_dist) / _F32(CEPS_MEM) - _F32(2.1)
+        f_spec = (sum(min_dist) / _F32(CEPS_MEM) - _F32(2.1)) if 'feat' not in skip else None
 
-        features = jnp.concatenate(
-            [f_sum, ceps[:, dly:nb], f_d1, f_d2, f_pitch, f_period, f_spec],
-            axis=1,
-        )  # (bk, 42)
-        features = jnp.where(sil, _F32(0.0), features)
+        if 'feat' in skip:
+            features = jnp.concatenate([ceps, ceps[:, :20]], axis=1)
+        else:
+            features = jnp.concatenate(
+                [f_sum, ceps[:, dly:nb], f_d1, f_d2, f_pitch, f_period, f_spec],
+                axis=1,
+            )  # (bk, 42)
+            features = jnp.where(sil, _F32(0.0), features)
         cmemF[:, :] = jnp.where(sil, cm, new_cm)
 
-        # ---- RNN (rnn.rs:343-379; reuses the fused-cell helpers) ---------
+        # ---- RNN (rnn.rs:343-379; recomputed-table activations) ----------
+        if 'rnn' in skip:
+            gains = jnp.abs(features[:, :22]) * _F32(0.01)
+            vad = features[:, :1]
+            hv2, hn2, hd2 = hvF[:, :], hnF[:, :], hdF[:, :]
+            hv, hn, hd = hv2, hn2, hd2
         f = features
-        hv, hn, hd = hvF[:, :], hnF[:, :], hdF[:, :]
-        d = _act_k(
-            _SCALE * (id_b[0, :] + jnp.dot(
-                f, id_w[:, :], preferred_element_type=_F32,
-                precision=jax.lax.Precision.HIGHEST)),
-            a_id, tab_ref,
-        )
-        hv2 = _gru_k(hv, d, vw_i[:, :], vw_r[:, :], vw_b, d_v, a_vad, tab_ref)
-        vad = _act_k(
-            _SCALE * (vo_b[0, :] + jnp.dot(
-                hv2, vo_w[:, :], preferred_element_type=_F32,
-                precision=jax.lax.Precision.HIGHEST)),
-            a_vo, tab_ref,
-        )
-        noise_in = jnp.concatenate([d, hv2, f], axis=-1)
-        hn2 = _gru_k(hn, noise_in, nw_i[:, :], nw_r[:, :], nw_b, d_n, a_noise, tab_ref)
-        den_in = jnp.concatenate([hv2, hn2, f], axis=-1)
-        hd2 = _gru_k(hd, den_in, dw_i[:, :], dw_r[:, :], dw_b, d_h, a_den, tab_ref)
-        gains = _act_k(
-            _SCALE * (do_b[0, :] + jnp.dot(
-                hd2, do_w[:, :], preferred_element_type=_F32,
-                precision=jax.lax.Precision.HIGHEST)),
-            a_do, tab_ref,
-        )
+        tab2d = tab_ref[:, :]  # (1, 256) padded tansig table
+        if 'rnn' not in skip:
+            hv, hn, hd = hvF[:, :], hnF[:, :], hdF[:, :]
+        if 'rnn' not in skip:
+            d = _act_g(_SCALE * (id_b[0, :] + _mm(f, id_w[:, :])), a_id, tab2d)
+            hv2 = _gru_g(hv, d, vw_i[:, :], vw_r[:, :], vw_b, d_v, a_vad, tab2d)
+            vad = _act_g(
+                _SCALE * (vo_b[0, :] + _mm(hv2, vo_w[:, :])), a_vo, tab2d
+            )
+            noise_in = jnp.concatenate([d, hv2, f], axis=-1)
+            hn2 = _gru_g(hn, noise_in, nw_i[:, :], nw_r[:, :], nw_b, d_n, a_noise, tab2d)
+            den_in = jnp.concatenate([hv2, hn2, f], axis=-1)
+            hd2 = _gru_g(hd, den_in, dw_i[:, :], dw_r[:, :], dw_b, d_h, a_den, tab2d)
+            gains = _act_g(
+                _SCALE * (do_b[0, :] + _mm(hd2, do_w[:, :])), a_do, tab2d
+            )
         hvF[:, :] = jnp.where(sil, hv, hv2)
         hnF[:, :] = jnp.where(sil, hn, hn2)
         hdF[:, :] = jnp.where(sil, hd, hd2)
@@ -359,6 +417,9 @@ def _make_frame_kernel(acts: tuple):
 
         # ---- comb filter + hangover + gain (features.rs:223-257,
         #      denoise.rs:102-112) -----------------------------------------
+        if 'comb' in skip:
+            x_comb = x
+            gains = gains * _F32(1.0)
         g_sq = gains * gains
         exp_sq = exp * exp
         r = jnp.where(
@@ -367,11 +428,12 @@ def _make_frame_kernel(acts: tuple):
             exp_sq * (_F32(1.0) - g_sq)
             / (_F32(0.001) + g_sq * (_F32(1.0) - exp_sq)),
         )
-        r = jnp.sqrt(jnp.clip(r, _F32(0.0), _F32(1.0)))
-        r = r * jnp.sqrt(ex / (_F32(1e-8) + ep))
-        x1 = x + p * interp(r)
-        new_e = bands(x1 * x1)
-        x_comb = x1 * interp(jnp.sqrt(ex / (_F32(1e-8) + new_e)))
+        if 'comb' not in skip:
+            r = jnp.sqrt(jnp.clip(r, _F32(0.0), _F32(1.0)))
+            r = r * jnp.sqrt(ex / (_F32(1e-8) + ep))
+            x1 = x + p * interp(r)
+            new_e = bands(x1 * x1)
+            x_comb = x1 * interp(jnp.sqrt(ex / (_F32(1e-8) + new_e)))
 
         lastg = lastgF[:, :]
         g2 = jnp.maximum(gains, _F32(0.6) * lastg)
@@ -380,24 +442,19 @@ def _make_frame_kernel(acts: tuple):
         lastgF[:, :] = jnp.where(sil, lastg, g2)
 
         # ---- synthesis: inverse DFT + overlap-add (features.rs:263-275) --
-        head = jnp.dot(
-            x_final, IV1_ref[:, :],
-            preferred_element_type=_F32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (bk, 480)
-        tail = jnp.dot(
-            x_final, IV2_ref[:, :],
-            preferred_element_type=_F32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (bk, 480)
-        out_ref[0, :, :] = head + synthF[:, :]
-        synthF[:, :] = tail
+        if 'inv' in skip:
+            out_ref[0, :, :] = x_final[:, :FRAME_SIZE] + synthF[:, :]
+        else:
+            head = _mm(x_final, IV1_ref[:, :])  # (bk, 480)
+            tail = _mm(x_final, IV2_ref[:, :])  # (bk, 480)
+            out_ref[0, :, :] = head + synthF[:, :]
+            synthF[:, :] = tail
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("acts", "block", "interpret")
+    jax.jit, static_argnames=("acts", "block", "interpret", "skip")
 )
 def frame_loop_pallas(
     weights: tuple,
@@ -406,6 +463,7 @@ def frame_loop_pallas(
     acts: tuple,
     block: int = _BLOCK,
     interpret: bool = False,
+    skip: tuple = (),
 ):
     """Run the full frame loop. See _scan_batch for the dispatch wrapper.
 
@@ -426,7 +484,9 @@ def frame_loop_pallas(
 
     fwd, iv1, iv2 = _dft_consts()
     corr2, interp2, dctm = _band_consts()
-    tab = jnp.asarray(TANSIG_TABLE)
+    tab_np = np.zeros((1, 256), np.float32)
+    tab_np[0, : TANSIG_TABLE.shape[0]] = TANSIG_TABLE
+    tab = jnp.asarray(tab_np)
 
     const_in = (
         jnp.asarray(fwd), jnp.asarray(iv1), jnp.asarray(iv2),
@@ -451,10 +511,8 @@ def frame_loop_pallas(
             memory_space=pltpu.VMEM,
         )
 
-    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-
     in_specs = (
-        [smem_spec]
+        [cspec(tab)]
         + [cspec(a) for a in const_in]
         + [cspec(w) for w in weights]
         + [carry_spec(a) for a in carry_arrays]
@@ -470,7 +528,7 @@ def frame_loop_pallas(
     ) + tuple(carry_spec(a) for a in carry_arrays)
 
     outs = pl.pallas_call(
-        _make_frame_kernel(acts),
+        _make_frame_kernel(acts, skip),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -493,7 +551,7 @@ def fused_scan_available(meta, batch: int, block: int = _BLOCK) -> bool:
 
 
 def run_fused_scan(params, meta, carry, pre, interpret: bool = False,
-                   block: int = _BLOCK):
+                   block: int = _BLOCK, skip: tuple = ()):
     """Adapter: DenoiseCarry + FramePre (B, T, ...) -> same pytree outputs
     as the lax.scan path (carry', out (B,T,480), vad (B,T))."""
     from .rnn_pallas import meta_acts
@@ -526,7 +584,7 @@ def run_fused_scan(params, meta, carry, pre, interpret: bool = False,
     weights = _flatten_params(params)
     out, vad, cf = frame_loop_pallas(
         weights, carry_arrays, pre_arrays, meta_acts(meta), block=block,
-        interpret=interpret,
+        interpret=interpret, skip=skip,
     )
     out = jnp.swapaxes(out, 0, 1)  # back to (B, T, 480)
     vad = jnp.swapaxes(vad, 0, 1)

@@ -281,9 +281,11 @@ def doubling_tables(
     xx = dot(x_tail, x_tail)
 
     x2 = x * x
-    i = np.arange(1, max_period + 1)
-    enter = x2[jnp.asarray(max_period - i)]  # x[384-i]^2
-    leave = x2[jnp.asarray(max_period + n - i)]  # x[864-i]^2
+    # enter[i-1] = x[384-i]^2, leave[i-1] = x[864-i]^2 for i = 1..384:
+    # reversed contiguous slices (lax.rev — a fancy-index gather here is
+    # the single hottest op of the batched precompute on TPU)
+    enter = jnp.flip(x2[:max_period], axis=-1)
+    leave = jnp.flip(x2[n : n + max_period], axis=-1)
     deltas = enter - leave
     yy_lookup = jnp.concatenate([xx[None], xx + jnp.cumsum(deltas)])
     yy_lookup = jnp.maximum(yy_lookup, _F32(0.0))  # (385,)

@@ -116,16 +116,20 @@ def log_spectrum(ex: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     broadcast over any leading axes (the chunk path runs it once for all
     (B, T) frames, see chunk.py).
     """
+    # one vectorized log10, then the 22-step floor/follow chain on
+    # band-major slices (contiguous rows, not lane-strided extracts)
+    raw = jnp.moveaxis(jnp.log10(_F32(1e-2) + ex), -1, 0)  # (22, ...)
     log_max = _F32(-2.0)
     follow = _F32(-2.0)
     ly = []
     for i in range(NB_BANDS):
-        v = jnp.log10(_F32(1e-2) + ex[..., i])
-        v = jnp.maximum(jnp.maximum(v, log_max - _F32(7.0)), follow - _F32(1.5))
+        v = jnp.maximum(
+            jnp.maximum(raw[i], log_max - _F32(7.0)), follow - _F32(1.5)
+        )
         log_max = jnp.maximum(log_max, v)
         follow = jnp.maximum(follow - _F32(1.5), v)
         ly.append(v)
-    return jnp.stack(ly, axis=-1), jnp.sum(ex, axis=-1)
+    return jnp.moveaxis(jnp.stack(ly, axis=0), 0, -1), jnp.sum(ex, axis=-1)
 
 
 _log_spectrum = log_spectrum  # back-compat alias
