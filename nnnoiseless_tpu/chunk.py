@@ -85,13 +85,20 @@ def precompute_chunk(
     filtered_tm = _frame_windows(full, t, PITCH_BUF_SIZE, FRAME_SIZE, FRAME_SIZE)
 
     # ---- lag-0 spectra -> band energies -> log spectrum -> cepstra --------
-    # One dense f32 MXU product (window + rfft + wnorm folded into the
-    # basis) instead of the multi-stage CT einsum chain — same bases the
-    # fused frame kernel uses for the pitch-lag transform.
-    off0 = FRAME_SIZE + (PITCH_BUF_SIZE - WINDOW_SIZE)  # window end = mem end
-    win0 = _frame_windows(full, t, off0, WINDOW_SIZE, FRAME_SIZE)  # (T,B,960)
+    # Dense f32 MXU product (window + rfft + wnorm folded into the basis,
+    # same bases as the fused frame kernel's pitch-lag transform).  The
+    # 960-sample analysis window of frame t is exactly [frame t-1 | frame t]
+    # of the filtered signal, so instead of materializing a (T, B, 960)
+    # window stack (1.5 GB at production batch) the basis is split in half
+    # and applied to the already-stacked (T, B, 480) frames and their
+    # 1-frame-shifted view.
     fwd_basis = jnp.asarray(dense_dft_bases()[0])  # (960, 962)
-    x = jnp.matmul(win0, fwd_basis, precision=jax.lax.Precision.HIGHEST)
+    first_prev = input_mem[:, PITCH_BUF_SIZE - WINDOW_SIZE + FRAME_SIZE :]
+    fprev = jnp.concatenate([first_prev[None], filtered_tm[:-1]], axis=0)
+    prec = jax.lax.Precision.HIGHEST
+    x = jnp.matmul(fprev, fwd_basis[:FRAME_SIZE], precision=prec) + jnp.matmul(
+        filtered_tm, fwd_basis[FRAME_SIZE:], precision=prec
+    )
     ex = band_energies_flat(x)  # (T, B, 22), no packed reshape
     ly, e = log_spectrum(ex)
     silence = e < _F32(0.04)

@@ -214,9 +214,10 @@ def denoise_audio(
 ) -> np.ndarray:
     """Convenience: denoise a full mono signal (n,) or batch (B, n).
 
-    Pads the tail to a whole frame, processes in one scan, and (by default)
-    drops the first output frame like the reference CLI/Signal adapters.
-    Returns the same leading shape with length trimmed to whole frames.
+    Truncates the tail to whole frames (the reference CLI's behavior),
+    processes in one scan, and (by default) drops the first output frame
+    like the reference CLI/Signal adapters.  Returns the same leading
+    shape with length trimmed to whole frames.
     """
     model = model if model is not None else RnnModel.default()
     audio = np.asarray(audio, np.float32)

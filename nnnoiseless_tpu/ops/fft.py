@@ -200,58 +200,64 @@ def dense_dft_bases():
     )
 
 
-@functools.lru_cache(maxsize=4)
-def _raw_corr_bases(n_lags: int):
+@functools.lru_cache(maxsize=8)
+def _raw_corr_bases(n_lags: int, n: int = WINDOW_SIZE):
     """Dense raw DFT bases for batched correlation (f64 -> f32).
 
-    FR (960, 962): packed unwindowed rfft as one matmul.
-    IC (962, n_lags): hermitian inverse restricted to the first n_lags
-    samples with the 1/960 scale folded in — replaces the CT inverse whose
-    hermitian-unfold is a 960-wide lane gather (slow on TPU).
+    FR (n, 2*(n/2+1)): packed unwindowed rfft as one matmul.
+    IC (2*(n/2+1), n_lags): hermitian inverse restricted to the first
+    n_lags samples with the 1/n scale folded in — replaces the CT inverse
+    whose hermitian-unfold is an n-wide lane gather (slow on TPU).
     """
-    n = np.arange(WINDOW_SIZE)[:, None]
-    k = np.arange(FREQ_SIZE)[None, :]
-    theta = 2.0 * np.pi * n * k / WINDOW_SIZE
-    fr = np.concatenate([np.cos(theta), -np.sin(theta)], axis=1)  # (960, 962)
+    h = n // 2 + 1
+    idx = np.arange(n)[:, None]
+    k = np.arange(h)[None, :]
+    theta = 2.0 * np.pi * idx * k / n
+    fr = np.concatenate([np.cos(theta), -np.sin(theta)], axis=1)  # (n, 2h)
 
-    ck = np.full(FREQ_SIZE, 2.0)
+    ck = np.full(h, 2.0)
     ck[0] = ck[-1] = 1.0
-    sk = np.full(FREQ_SIZE, -2.0)
+    sk = np.full(h, -2.0)
     sk[0] = sk[-1] = 0.0
     lag = np.arange(n_lags)[None, :]
-    theta_kl = 2.0 * np.pi * np.arange(FREQ_SIZE)[:, None] * lag / WINDOW_SIZE
+    theta_kl = 2.0 * np.pi * np.arange(h)[:, None] * lag / n
     ic = (
         np.concatenate(
             [ck[:, None] * np.cos(theta_kl), sk[:, None] * np.sin(theta_kl)],
             axis=0,
         )
-        / WINDOW_SIZE
-    )  # (962, n_lags)
+        / n
+    )  # (2h, n_lags)
     f32 = lambda m: np.ascontiguousarray(m, np.float32)
     return f32(fr), f32(ic)
 
 
-def xcorr_dft(kernel: jnp.ndarray, y: jnp.ndarray, n_lags: int) -> jnp.ndarray:
-    """corr[s] = dot(kernel, y[s : s+len(kernel)]) via 960-point DFTs.
+def xcorr_dft(
+    kernel: jnp.ndarray, y: jnp.ndarray, n_lags: int, n: int | None = None
+) -> jnp.ndarray:
+    """corr[s] = dot(kernel, y[s : s+len(kernel)]) via n-point DFTs.
 
     Batched sliding correlation on the MXU: XLA lowers wide 1-D grouped
     convolutions as shifted multiply-adds (~kernel_taps passes over the
     data — measured ~10x the cost of the whole pitch search at production
     batch), while three dense matmul DFTs are plain MXU products.
-    Requires len(kernel) + n_lags - 1 <= len(y) <= 960 (no circular wrap).
-    Broadcasts over leading axes.
+    Requires len(kernel) + n_lags - 1 <= n and len(y) <= n (no circular
+    wrap); n defaults to the smallest even size that fits.  Broadcasts
+    over leading axes.
     """
-    n = WINDOW_SIZE
-    assert kernel.shape[-1] + n_lags - 1 <= y.shape[-1] <= n
-    fr_np, ic_np = _raw_corr_bases(n_lags)
+    if n is None:
+        n = max(y.shape[-1], kernel.shape[-1] + n_lags - 1)
+        n += n % 2
+    assert kernel.shape[-1] + n_lags - 1 <= n and y.shape[-1] <= n
+    fr_np, ic_np = _raw_corr_bases(n_lags, n)
     fr = jnp.asarray(fr_np)
     ic = jnp.asarray(ic_np)
     prec = jax.lax.Precision.HIGHEST
     xk = jnp.matmul(
         kernel, fr[: kernel.shape[-1]], precision=prec
-    )  # (..., 962), zero-pad implicit via basis truncation
+    )  # (..., 2h), zero-pad implicit via basis truncation
     yk = jnp.matmul(y, fr[: y.shape[-1]], precision=prec)
-    h = FREQ_SIZE
+    h = n // 2 + 1
     xr, xi = xk[..., :h], xk[..., h:]
     yr, yi = yk[..., :h], yk[..., h:]
     # conj(X) * Y, packed

@@ -76,6 +76,25 @@ _PACKED = 2 * FREQ_SIZE  # 962: [re | im]
 _NCORR = PITCH_MAX_DS + 1  # 385 doubling-correlation lags
 _SCALE = 0.00390625  # 1/256 (python float: trace-time constant)
 
+# Lane layout of the single packed per-frame input block.  One (1, block, -)
+# DMA per grid step instead of nine: with ~11 separate streamed refs the
+# kernel was DMA-issue-latency-bound (measured: all compute stages skipped
+# still cost 72% of the full kernel).  Fields sit at 128-lane-aligned
+# offsets so every in-kernel slice is tile-aligned.
+_OFF_FILT = 0  # (480) HP-filtered frame
+_OFF_X = 512  # (962) packed lag-0 spectrum [re|im]
+_OFF_CORR = 1536  # (385) doubling correlation
+_OFF_YY = 2048  # (385) doubling energy table
+_OFF_EX = 2560  # (22) band energies
+_OFF_CEPS = 2688  # (22) cepstrum
+_OFF_SIL = 2816  # silence flag (f32 0/1)
+_OFF_PIDX = 2817  # pitch index (f32-encoded int, <= 768: exact)
+_OFF_XX = 2818  # tail energy
+_IN_LANES = 2944  # 23 * 128
+# Packed output block: denoised frame + vad on one stream.
+_OFF_VAD = 480
+_OUT_LANES = 512
+
 
 # ---------------------------------------------------------------------------
 # trace-time constants (f64 precompute, f32 cast — tables.py convention)
@@ -254,10 +273,13 @@ def _remove_doubling_block(corr, yy_lookup, xx, pitch_idx, last_period, last_gai
     return period, pg
 
 
-def _make_frame_kernel(acts: tuple, skip: tuple = ()):
+def _make_frame_kernel(acts: tuple, skip: tuple = (), fps: int = 1):
     # ``skip`` (profiling only): stub out stages to attribute kernel time —
     # 'rd' octave removal, 'dft' lagged window+forward DFT, 'rnn', 'feat'
     # feature assembly, 'comb' comb/gain stage, 'inv' inverse DFT+OLA.
+    # ``fps``: frames per grid step — the sequential per-frame logic is
+    # unrolled fps times inside one kernel invocation, dividing the
+    # per-step pipeline overhead (the dominant cost at fps=1).
     a_id, a_vad, a_noise, a_den, a_do, a_vo = acts
     d_f, d_d, d_v, d_n, d_h = (
         _DIMS["f"], _DIMS["d"], _DIMS["v"], _DIMS["n"], _DIMS["h"],
@@ -272,11 +294,10 @@ def _make_frame_kernel(acts: tuple, skip: tuple = ()):
         do_w, do_b, vo_w, vo_b,
         # initial carries (index i)
         mem0, synth0, cmem0, hv0, hn0, hd0, lastg0, per0, pgain0,
-        # per-frame xs (index i, t)
-        filt_ref, x_ref, ex_ref, ceps_ref, sil_ref, pidx_ref, xx_ref,
-        corr_ref, yy_ref,
-        # outputs: streamed (index i, t) then resident carries (index i)
-        out_ref, vad_ref,
+        # per-frame xs: ONE packed (1, bk, _IN_LANES) block (index i, t)
+        in_ref,
+        # outputs: packed stream (index i, t) then resident carries (index i)
+        out_ref,
         memF, synthF, cmemF, hvF, hnF, hdF, lastgF, perF, pgainF,
     ):
         t = pl.program_id(1)
@@ -293,194 +314,202 @@ def _make_frame_kernel(acts: tuple, skip: tuple = ()):
             perF[:, :] = per0[:, :]
             pgainF[:, :] = pgain0[:, :]
 
-        filt = filt_ref[0, :, :]  # (bk, 480)
-        x = x_ref[0, :, :]  # (bk, 962) packed [re|im]
-        ex = ex_ref[0, :, :]  # (bk, 22)
-        ceps = ceps_ref[0, :, :]  # (bk, 22)
-        sil = sil_ref[0, :, :] > _F32(0.5)  # (bk, 1)
-        pidx = pidx_ref[0, :, :]  # (bk, 1) i32
-        xx = xx_ref[0, :, :]  # (bk, 1)
-        corr = corr_ref[0, :, :]  # (bk, 385)
-        yy = yy_ref[0, :, :]  # (bk, 385)
+        def one_frame(fi):
+            filt = in_ref[fi, :, _OFF_FILT : _OFF_FILT + FRAME_SIZE]  # (bk, 480)
+            x = in_ref[fi, :, _OFF_X : _OFF_X + _PACKED]  # (bk, 962) [re|im]
+            ex = in_ref[fi, :, _OFF_EX : _OFF_EX + nb]  # (bk, 22)
+            ceps = in_ref[fi, :, _OFF_CEPS : _OFF_CEPS + nb]  # (bk, 22)
+            sil = in_ref[fi, :, _OFF_SIL : _OFF_SIL + 1] > _F32(0.5)  # (bk, 1)
+            pidx = in_ref[fi, :, _OFF_PIDX : _OFF_PIDX + 1].astype(jnp.int32)
+            xx = in_ref[fi, :, _OFF_XX : _OFF_XX + 1]  # (bk, 1)
+            corr = in_ref[fi, :, _OFF_CORR : _OFF_CORR + _NCORR]  # (bk, 385)
+            yy = in_ref[fi, :, _OFF_YY : _OFF_YY + _NCORR]  # (bk, 385)
+            self_frame(filt, x, ex, ceps, sil, pidx, xx, corr, yy, fi)
 
-        # ---- input history shift (features.rs:97-104) --------------------
-        mem = jnp.concatenate([memF[:, FRAME_SIZE:], filt], axis=1)
-        memF[:, :] = mem
+        def self_frame(filt, x, ex, ceps, sil, pidx, xx, corr, yy, fi):
+            # ---- input history shift (features.rs:97-104) ----------------
+            mem = jnp.concatenate([memF[:, FRAME_SIZE:], filt], axis=1)
+            memF[:, :] = mem
 
-        # ---- octave removal (carry-coupled half, pitch.rs:118-221) -------
-        if 'rd' in skip:
-            period, pgain = jnp.maximum(pidx, 60), xx * _F32(0.0)
-        else:
-            period, pgain = _remove_doubling_block(
-                corr, yy, xx, pidx, perF[:, :], pgainF[:, :]
-            )
-        perF[:, :] = period
-        pgainF[:, :] = pgain
-
-        # ---- pitch-lag window (barrel shift) + forward DFT ---------------
-        if 'dft' in skip:
-            p = x
-        else:
-            w = mem
-            for b in range(_N_ROLL_BITS):
-                rolled = pltpu.roll(w, 1 << b, axis=1)
-                w = jnp.where(((period >> b) & 1) == 1, rolled, w)
-            w960 = w[:, PITCH_BUF_SIZE - WINDOW_SIZE :]
-            p = _mm(w960, F_ref[:, :])  # (bk, 962)
-
-        def bands(v):  # packed (bk, 962) -> (bk, 22)
-            return _mm(v, CORR2_ref[:, :])
-
-        def interp(v):  # (bk, 22) -> packed-broadcast (bk, 962)
-            return _mm(v, INTERP2_ref[:, :])
-
-        def dct(v):  # (bk, 22) -> (bk, 22)
-            return _mm(v, DCT_ref[:, :]) * np.float32(DCT_SCALE)
-
-        ep = bands(p * p)
-        exp = bands(x * p) / jnp.sqrt(_F32(0.001) + ex * ep)
-
-        # ---- features (features.rs:139-216) ------------------------------
-        tmp = dct(exp)
-        f_pitch = jnp.concatenate(
-            [
-                tmp[:, 0:1] + _F32(-1.3),
-                tmp[:, 1:2] + _F32(-0.9),
-                tmp[:, 2:dly],
-            ],
-            axis=1,
-        )
-        f_period = _F32(0.01) * (period.astype(_F32) - _F32(300.0))
-
-        cm = cmemF[:, :]  # (bk, 176) rows newest-first
-        new_cm = jnp.concatenate([ceps, cm[:, : (CEPS_MEM - 1) * nb]], axis=1)
-        c0 = ceps[:, :dly]
-        c1 = new_cm[:, nb : nb + dly]
-        c2 = new_cm[:, 2 * nb : 2 * nb + dly]
-        f_sum = c0 + c1 + c2
-        f_d1 = c0 - c2
-        f_d2 = c0 - _F32(2.0) * c1 + c2
-
-        rows = (
-            [new_cm[:, i * nb : (i + 1) * nb] for i in range(CEPS_MEM)]
-            if 'feat' not in skip else []
-        )
-        min_dist = [None] * CEPS_MEM
-        for i in range(CEPS_MEM if 'feat' not in skip else 0):
-            for j in range(CEPS_MEM):
-                if i == j:
-                    continue
-                d = rows[i] - rows[j]
-                dist = jnp.sum(d * d, axis=1, keepdims=True)
-                min_dist[i] = (
-                    dist if min_dist[i] is None else jnp.minimum(min_dist[i], dist)
+            # ---- octave removal (carry-coupled half, pitch.rs:118-221) -------
+            if 'rd' in skip:
+                period, pgain = jnp.maximum(pidx, 60), xx * _F32(0.0)
+            else:
+                period, pgain = _remove_doubling_block(
+                    corr, yy, xx, pidx, perF[:, :], pgainF[:, :]
                 )
-        f_spec = (sum(min_dist) / _F32(CEPS_MEM) - _F32(2.1)) if 'feat' not in skip else None
+            perF[:, :] = period
+            pgainF[:, :] = pgain
 
-        if 'feat' in skip:
-            features = jnp.concatenate([ceps, ceps[:, :20]], axis=1)
-        else:
-            features = jnp.concatenate(
-                [f_sum, ceps[:, dly:nb], f_d1, f_d2, f_pitch, f_period, f_spec],
+            # ---- pitch-lag window (barrel shift) + forward DFT ---------------
+            if 'dft' in skip:
+                p = x
+            else:
+                w = mem
+                for b in range(_N_ROLL_BITS):
+                    rolled = pltpu.roll(w, 1 << b, axis=1)
+                    w = jnp.where(((period >> b) & 1) == 1, rolled, w)
+                w960 = w[:, PITCH_BUF_SIZE - WINDOW_SIZE :]
+                p = _mm(w960, F_ref[:, :])  # (bk, 962)
+
+            def bands(v):  # packed (bk, 962) -> (bk, 22)
+                return _mm(v, CORR2_ref[:, :])
+
+            def interp(v):  # (bk, 22) -> packed-broadcast (bk, 962)
+                return _mm(v, INTERP2_ref[:, :])
+
+            def dct(v):  # (bk, 22) -> (bk, 22)
+                return _mm(v, DCT_ref[:, :]) * np.float32(DCT_SCALE)
+
+            ep = bands(p * p)
+            exp = bands(x * p) / jnp.sqrt(_F32(0.001) + ex * ep)
+
+            # ---- features (features.rs:139-216) ------------------------------
+            tmp = dct(exp)
+            f_pitch = jnp.concatenate(
+                [
+                    tmp[:, 0:1] + _F32(-1.3),
+                    tmp[:, 1:2] + _F32(-0.9),
+                    tmp[:, 2:dly],
+                ],
                 axis=1,
-            )  # (bk, 42)
-            features = jnp.where(sil, _F32(0.0), features)
-        cmemF[:, :] = jnp.where(sil, cm, new_cm)
-
-        # ---- RNN (rnn.rs:343-379; recomputed-table activations) ----------
-        if 'rnn' in skip:
-            gains = jnp.abs(features[:, :22]) * _F32(0.01)
-            vad = features[:, :1]
-            hv2, hn2, hd2 = hvF[:, :], hnF[:, :], hdF[:, :]
-            hv, hn, hd = hv2, hn2, hd2
-        f = features
-        tab2d = tab_ref[:, :]  # (1, 256) padded tansig table
-        if 'rnn' not in skip:
-            hv, hn, hd = hvF[:, :], hnF[:, :], hdF[:, :]
-        if 'rnn' not in skip:
-            d = _act_g(_SCALE * (id_b[0, :] + _mm(f, id_w[:, :])), a_id, tab2d)
-            hv2 = _gru_g(hv, d, vw_i[:, :], vw_r[:, :], vw_b, d_v, a_vad, tab2d)
-            vad = _act_g(
-                _SCALE * (vo_b[0, :] + _mm(hv2, vo_w[:, :])), a_vo, tab2d
             )
-            noise_in = jnp.concatenate([d, hv2, f], axis=-1)
-            hn2 = _gru_g(hn, noise_in, nw_i[:, :], nw_r[:, :], nw_b, d_n, a_noise, tab2d)
-            den_in = jnp.concatenate([hv2, hn2, f], axis=-1)
-            hd2 = _gru_g(hd, den_in, dw_i[:, :], dw_r[:, :], dw_b, d_h, a_den, tab2d)
-            gains = _act_g(
-                _SCALE * (do_b[0, :] + _mm(hd2, do_w[:, :])), a_do, tab2d
+            f_period = _F32(0.01) * (period.astype(_F32) - _F32(300.0))
+
+            cm = cmemF[:, :]  # (bk, 176) rows newest-first
+            new_cm = jnp.concatenate([ceps, cm[:, : (CEPS_MEM - 1) * nb]], axis=1)
+            c0 = ceps[:, :dly]
+            c1 = new_cm[:, nb : nb + dly]
+            c2 = new_cm[:, 2 * nb : 2 * nb + dly]
+            f_sum = c0 + c1 + c2
+            f_d1 = c0 - c2
+            f_d2 = c0 - _F32(2.0) * c1 + c2
+
+            rows = (
+                [new_cm[:, i * nb : (i + 1) * nb] for i in range(CEPS_MEM)]
+                if 'feat' not in skip else []
             )
-        hvF[:, :] = jnp.where(sil, hv, hv2)
-        hnF[:, :] = jnp.where(sil, hn, hn2)
-        hdF[:, :] = jnp.where(sil, hd, hd2)
-        vad_ref[0, :, :] = jnp.where(sil, _F32(0.0), vad)
+            min_dist = [None] * CEPS_MEM
+            for i in range(CEPS_MEM if 'feat' not in skip else 0):
+                for j in range(CEPS_MEM):
+                    if i == j:
+                        continue
+                    d = rows[i] - rows[j]
+                    dist = jnp.sum(d * d, axis=1, keepdims=True)
+                    min_dist[i] = (
+                        dist if min_dist[i] is None else jnp.minimum(min_dist[i], dist)
+                    )
+            f_spec = (sum(min_dist) / _F32(CEPS_MEM) - _F32(2.1)) if 'feat' not in skip else None
 
-        # ---- comb filter + hangover + gain (features.rs:223-257,
-        #      denoise.rs:102-112) -----------------------------------------
-        if 'comb' in skip:
-            x_comb = x
-            gains = gains * _F32(1.0)
-        g_sq = gains * gains
-        exp_sq = exp * exp
-        r = jnp.where(
-            exp > gains,
-            _F32(1.0),
-            exp_sq * (_F32(1.0) - g_sq)
-            / (_F32(0.001) + g_sq * (_F32(1.0) - exp_sq)),
-        )
-        if 'comb' not in skip:
-            r = jnp.sqrt(jnp.clip(r, _F32(0.0), _F32(1.0)))
-            r = r * jnp.sqrt(ex / (_F32(1e-8) + ep))
-            x1 = x + p * interp(r)
-            new_e = bands(x1 * x1)
-            x_comb = x1 * interp(jnp.sqrt(ex / (_F32(1e-8) + new_e)))
+            if 'feat' in skip:
+                features = jnp.concatenate([ceps, ceps[:, :20]], axis=1)
+            else:
+                features = jnp.concatenate(
+                    [f_sum, ceps[:, dly:nb], f_d1, f_d2, f_pitch, f_period, f_spec],
+                    axis=1,
+                )  # (bk, 42)
+                features = jnp.where(sil, _F32(0.0), features)
+            cmemF[:, :] = jnp.where(sil, cm, new_cm)
 
-        lastg = lastgF[:, :]
-        g2 = jnp.maximum(gains, _F32(0.6) * lastg)
-        x_gained = x_comb * interp(g2)
-        x_final = jnp.where(sil, x, x_gained)
-        lastgF[:, :] = jnp.where(sil, lastg, g2)
+            # ---- RNN (rnn.rs:343-379; recomputed-table activations) ----------
+            if 'rnn' in skip:
+                gains = jnp.abs(features[:, :22]) * _F32(0.01)
+                vad = features[:, :1]
+                hv2, hn2, hd2 = hvF[:, :], hnF[:, :], hdF[:, :]
+                hv, hn, hd = hv2, hn2, hd2
+            f = features
+            tab2d = tab_ref[:, :]  # (1, 256) padded tansig table
+            if 'rnn' not in skip:
+                hv, hn, hd = hvF[:, :], hnF[:, :], hdF[:, :]
+            if 'rnn' not in skip:
+                d = _act_g(_SCALE * (id_b[0, :] + _mm(f, id_w[:, :])), a_id, tab2d)
+                hv2 = _gru_g(hv, d, vw_i[:, :], vw_r[:, :], vw_b, d_v, a_vad, tab2d)
+                vad = _act_g(
+                    _SCALE * (vo_b[0, :] + _mm(hv2, vo_w[:, :])), a_vo, tab2d
+                )
+                noise_in = jnp.concatenate([d, hv2, f], axis=-1)
+                hn2 = _gru_g(hn, noise_in, nw_i[:, :], nw_r[:, :], nw_b, d_n, a_noise, tab2d)
+                den_in = jnp.concatenate([hv2, hn2, f], axis=-1)
+                hd2 = _gru_g(hd, den_in, dw_i[:, :], dw_r[:, :], dw_b, d_h, a_den, tab2d)
+                gains = _act_g(
+                    _SCALE * (do_b[0, :] + _mm(hd2, do_w[:, :])), a_do, tab2d
+                )
+            hvF[:, :] = jnp.where(sil, hv, hv2)
+            hnF[:, :] = jnp.where(sil, hn, hn2)
+            hdF[:, :] = jnp.where(sil, hd, hd2)
+            out_ref[fi, :, _OFF_VAD : _OFF_VAD + 1] = jnp.where(
+                sil, _F32(0.0), vad
+            )
 
-        # ---- synthesis: inverse DFT + overlap-add (features.rs:263-275) --
-        if 'inv' in skip:
-            out_ref[0, :, :] = x_final[:, :FRAME_SIZE] + synthF[:, :]
-        else:
-            head = _mm(x_final, IV1_ref[:, :])  # (bk, 480)
-            tail = _mm(x_final, IV2_ref[:, :])  # (bk, 480)
-            out_ref[0, :, :] = head + synthF[:, :]
-            synthF[:, :] = tail
+            # ---- comb filter + hangover + gain (features.rs:223-257,
+            #      denoise.rs:102-112) -----------------------------------------
+            if 'comb' in skip:
+                x_comb = x
+                gains = gains * _F32(1.0)
+            g_sq = gains * gains
+            exp_sq = exp * exp
+            r = jnp.where(
+                exp > gains,
+                _F32(1.0),
+                exp_sq * (_F32(1.0) - g_sq)
+                / (_F32(0.001) + g_sq * (_F32(1.0) - exp_sq)),
+            )
+            if 'comb' not in skip:
+                r = jnp.sqrt(jnp.clip(r, _F32(0.0), _F32(1.0)))
+                r = r * jnp.sqrt(ex / (_F32(1e-8) + ep))
+                x1 = x + p * interp(r)
+                new_e = bands(x1 * x1)
+                x_comb = x1 * interp(jnp.sqrt(ex / (_F32(1e-8) + new_e)))
+
+            lastg = lastgF[:, :]
+            g2 = jnp.maximum(gains, _F32(0.6) * lastg)
+            x_gained = x_comb * interp(g2)
+            x_final = jnp.where(sil, x, x_gained)
+            lastgF[:, :] = jnp.where(sil, lastg, g2)
+
+            # ---- synthesis: inverse DFT + overlap-add (features.rs:263-275) --
+            if 'inv' in skip:
+                out_ref[fi, :, :FRAME_SIZE] = x_final[:, :FRAME_SIZE] + synthF[:, :]
+            else:
+                head = _mm(x_final, IV1_ref[:, :])  # (bk, 480)
+                tail = _mm(x_final, IV2_ref[:, :])  # (bk, 480)
+                out_ref[fi, :, :FRAME_SIZE] = head + synthF[:, :]
+                synthF[:, :] = tail
+
+        for fi in range(fps):
+            one_frame(fi)
+
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("acts", "block", "interpret", "skip")
+    jax.jit, static_argnames=("acts", "block", "interpret", "skip", "fps")
 )
 def frame_loop_pallas(
     weights: tuple,
     carry_arrays: tuple,
-    pre_arrays: tuple,
+    packed_in: jnp.ndarray,
     acts: tuple,
     block: int = _BLOCK,
     interpret: bool = False,
     skip: tuple = (),
+    fps: int = 1,
 ):
     """Run the full frame loop. See _scan_batch for the dispatch wrapper.
 
     carry_arrays: (mem (B,1728), synth (B,480), cmem (B,176), hv, hn, hd,
                    lastg (B,22), period (B,1) i32, pgain (B,1))
-    pre_arrays:   TIME-MAJOR (Mosaic block constraint: the last two dims of
-                  a block must be (div 8, div 128) or full, so the frame
-                  axis leads): (filtered (T,B,480), x (T,B,962),
-                  ex (T,B,22), ceps (T,B,22), sil (T,B,1) f32,
-                  pidx (T,B,1) i32, xx (T,B,1), corr (T,B,385),
-                  yy (T,B,385))
-    Returns (out (T,B,480), vad (T,B,1), new_carry_arrays).
+    packed_in:    TIME-MAJOR (T, B, _IN_LANES) — all per-frame precompute
+                  fields on one lane-aligned stream (offsets _OFF_*), so
+                  each grid step issues ONE input DMA instead of nine
+                  (the kernel was DMA-issue-latency-bound before packing).
+    Returns (packed_out (T, B, _OUT_LANES): frame + vad, new_carry_arrays).
     """
-    t = pre_arrays[0].shape[0]
-    b = pre_arrays[0].shape[1]
+    t, b, _ = packed_in.shape
     assert b % block == 0, (b, block)
-    grid = (b // block, t)
+    assert t % fps == 0, (t, fps)
+    grid = (b // block, t // fps)
 
     fwd, iv1, iv2 = _dft_consts()
     corr2, interp2, dctm = _band_consts()
@@ -504,9 +533,9 @@ def frame_loop_pallas(
             (block, arr.shape[1]), lambda i, tt: (i, 0), memory_space=pltpu.VMEM
         )
 
-    def xs_spec(arr):  # (T, B, k) -> (1, block, k) at (t, i)
+    def xs_spec(arr):  # (T, B, k) -> (fps, block, k) at (t, i)
         return pl.BlockSpec(
-            (1, block, arr.shape[2]),
+            (fps, block, arr.shape[2]),
             lambda i, tt: (tt, i, 0),
             memory_space=pltpu.VMEM,
         )
@@ -516,19 +545,17 @@ def frame_loop_pallas(
         + [cspec(a) for a in const_in]
         + [cspec(w) for w in weights]
         + [carry_spec(a) for a in carry_arrays]
-        + [xs_spec(a) for a in pre_arrays]
+        + [xs_spec(packed_in)]
     )
     out_shape = (
-        jax.ShapeDtypeStruct((t, b, FRAME_SIZE), jnp.float32),  # out
-        jax.ShapeDtypeStruct((t, b, 1), jnp.float32),  # vad
+        jax.ShapeDtypeStruct((t, b, _OUT_LANES), jnp.float32),  # frame+vad
     ) + tuple(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in carry_arrays)
-    out_specs = (
-        xs_spec(out_shape[0]),
-        xs_spec(out_shape[1]),
-    ) + tuple(carry_spec(a) for a in carry_arrays)
+    out_specs = (xs_spec(out_shape[0]),) + tuple(
+        carry_spec(a) for a in carry_arrays
+    )
 
     outs = pl.pallas_call(
-        _make_frame_kernel(acts, skip),
+        _make_frame_kernel(acts, skip, fps),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -540,8 +567,8 @@ def frame_loop_pallas(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(tab, *const_in, *weights, *carry_arrays, *pre_arrays)
-    return outs[0], outs[1], outs[2:]
+    )(tab, *const_in, *weights, *carry_arrays, packed_in)
+    return outs[0], outs[1:]
 
 
 def fused_scan_available(meta, batch: int, block: int = _BLOCK) -> bool:
@@ -551,7 +578,8 @@ def fused_scan_available(meta, batch: int, block: int = _BLOCK) -> bool:
 
 
 def run_fused_scan(params, meta, carry, pre, interpret: bool = False,
-                   block: int = _BLOCK, skip: tuple = ()):
+                   block: int = _BLOCK, skip: tuple = (),
+                   fps: int | None = None):
     """Adapter: DenoiseCarry + FramePre (B, T, ...) -> same pytree outputs
     as the lax.scan path (carry', out (B,T,480), vad (B,T))."""
     from .rnn_pallas import meta_acts
@@ -570,24 +598,33 @@ def run_fused_scan(params, meta, carry, pre, interpret: bool = False,
         feat.pitch_period.reshape(b, 1).astype(jnp.int32),
         feat.pitch_gain.reshape(b, 1),
     )
-    pre_arrays = (  # already time-major (T, B, ...)
-        pre.filtered,
-        pre.x,
-        pre.ex,
-        pre.ceps,
-        pre.silence.astype(jnp.float32).reshape(t, b, 1),
-        pre.pitch_idx.astype(jnp.int32).reshape(t, b, 1),
-        pre.xx.reshape(t, b, 1),
-        pre.corr_full,
-        pre.yy_lookup,
+    def pad_to(a, w):
+        return jnp.pad(a, ((0, 0), (0, 0), (0, w - a.shape[2])))
+
+    packed_in = jnp.concatenate(  # time-major (T, B, _IN_LANES), see layout
+        [
+            pad_to(pre.filtered, _OFF_X - _OFF_FILT),
+            pad_to(pre.x, _OFF_CORR - _OFF_X),
+            pad_to(pre.corr_full, _OFF_YY - _OFF_CORR),
+            pad_to(pre.yy_lookup, _OFF_EX - _OFF_YY),
+            pad_to(pre.ex, _OFF_CEPS - _OFF_EX),
+            pad_to(pre.ceps, _OFF_SIL - _OFF_CEPS),
+            pre.silence.astype(jnp.float32).reshape(t, b, 1),
+            pre.pitch_idx.astype(jnp.float32).reshape(t, b, 1),  # <=768: exact
+            pre.xx.reshape(t, b, 1),
+            jnp.zeros((t, b, _IN_LANES - _OFF_XX - 1), jnp.float32),
+        ],
+        axis=-1,
     )
+    if fps is None:  # largest frames-per-step that divides the chunk
+        fps = next(f for f in (4, 2, 1) if t % f == 0)
     weights = _flatten_params(params)
-    out, vad, cf = frame_loop_pallas(
-        weights, carry_arrays, pre_arrays, meta_acts(meta), block=block,
-        interpret=interpret, skip=skip,
+    packed_out, cf = frame_loop_pallas(
+        weights, carry_arrays, packed_in, meta_acts(meta), block=block,
+        interpret=interpret, skip=skip, fps=fps,
     )
-    out = jnp.swapaxes(out, 0, 1)  # back to (B, T, 480)
-    vad = jnp.swapaxes(vad, 0, 1)
+    out = jnp.swapaxes(packed_out[:, :, :FRAME_SIZE], 0, 1)  # (B, T, 480)
+    vad = jnp.swapaxes(packed_out[:, :, _OFF_VAD : _OFF_VAD + 1], 0, 1)
     mem, synth, cmem, hv, hn, hd, lastg, per, pg = cf
     from ..ops.rnn import RnnState
 

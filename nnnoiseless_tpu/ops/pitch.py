@@ -122,8 +122,17 @@ def whiten(x_lp: jnp.ndarray) -> jnp.ndarray:
             _F32(0.8) * c[3],
         ]
     )
-    # fir5_in_place == causal FIR with zero history == 'full' conv truncated.
-    return convolve(x_lp, kernel)[: x_lp.shape[0]]
+    # fir5_in_place == causal FIR with zero history.  Expressed as six
+    # shifted multiply-adds (pure VPU): under the chunk path's vmap a
+    # per-row-kernel jnp.convolve becomes a (B*T)-group conv, which XLA
+    # lowers pathologically on TPU.
+    n = x_lp.shape[0]
+    y = kernel[0] * x_lp
+    for j in range(1, 6):
+        y = y + kernel[j] * jnp.concatenate(
+            [jnp.zeros((j,), _F32), x_lp[: n - j]]
+        )
+    return y
 
 
 def sliding_dot(x: jnp.ndarray, y: jnp.ndarray, n_lags: int) -> jnp.ndarray:
@@ -222,8 +231,11 @@ def pitch_search(
     x_lp4 = x_lp[0::2][: PITCH_FRAME_DS // 2]  # (240,)
     y_lp4 = pitch_buf[0::2][: PITCH_FRAME_DS // 2 + MAX_PITCH // 4]  # (387,)
 
-    # Coarse: brute force over 147 lags.
-    xcorr4 = sliding_dot(x_lp4, y_lp4, MAX_PITCH // 4)
+    # Coarse: brute force over 147 lags (DFT matmuls — a vmapped
+    # sliding_dot becomes a huge grouped conv, see xcorr_dft).
+    from .fft import xcorr_dft
+
+    xcorr4 = xcorr_dft(x_lp4, y_lp4, MAX_PITCH // 4)
     best4, second4 = find_best_pitch(xcorr4, y_lp4, PITCH_FRAME_DS // 2)
 
     # Fine: all 294 lags as one dense product, masked to the reference's
