@@ -41,7 +41,12 @@ from .constants import (
 from .ops.bands import band_energies_flat, dct22
 from .ops.biquad import biquad_filter_frames
 from .ops.fft import dense_dft_bases, xcorr_dft
-from .ops.pitch import doubling_tables, pitch_search, whiten
+from .ops.pitch import (
+    doubling_candidates,
+    doubling_tables,
+    pitch_search,
+    whiten,
+)
 from .pipeline import FramePre, log_spectrum
 from .tables import BIQUAD_HP_A, BIQUAD_HP_B
 
@@ -128,8 +133,13 @@ def precompute_chunk(
     # share it between both consumers.
     corr_shared = xcorr_dft(x_lp[:, PITCH_MAX_DS:], x_lp, PITCH_MAX_DS + 1)
     search = jax.vmap(pitch_search)(x_lp, corr_shared)
-    pitch_idx = (PITCH_MAX_PERIOD - search).reshape(t, b)
-    corr_full, yy_lookup, xx = jax.vmap(doubling_tables)(x_lp, corr_shared)
+    pitch_idx = PITCH_MAX_PERIOD - search
+
+    def cand_row(x_lp_row, corr_row, pidx_row):
+        corr_full, yy_lookup, xx = doubling_tables(x_lp_row, corr_row)
+        return doubling_candidates(corr_full, yy_lookup, xx, pidx_row)
+
+    cand = jax.vmap(cand_row)(x_lp, corr_shared, pitch_idx)
 
     pre = FramePre(
         filtered=filtered_tm,
@@ -137,9 +147,6 @@ def precompute_chunk(
         ex=ex,
         silence=silence,
         ceps=ceps,
-        pitch_idx=pitch_idx,
-        corr_full=corr_full.reshape(t, b, -1),
-        yy_lookup=yy_lookup.reshape(t, b, -1),
-        xx=xx.reshape(t, b),
+        cand=cand.reshape(t, b, -1),
     )
     return pre, hp_out

@@ -54,6 +54,50 @@ def _process_chunk(params, meta: ModelMeta, carry: DenoiseCarry, frames):
     return jax.tree_util.tree_map(lambda x: x[0], c2), out[0], vad[0]
 
 
+@jax.jit
+def _precompute_jit(input_mem, hp_mem, frames):
+    from .chunk import precompute_chunk
+
+    return precompute_chunk(input_mem, hp_mem, frames)
+
+
+@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(2, 3))
+def _fused_jit(params, meta: ModelMeta, carry, pre):
+    from .ops.frame_kernel import run_fused_scan
+
+    return run_fused_scan(params, meta, carry, pre)
+
+
+def two_phase_available(meta: ModelMeta, frames) -> bool:
+    import os
+
+    from .ops.frame_kernel import fused_scan_available
+
+    return (
+        os.environ.get("NNT_FUSED", "1") != "0"
+        and os.environ.get("NNT_TWO_PHASE", "1") != "0"
+        and jax.default_backend() != "cpu"
+        and frames.ndim == 3
+        and fused_scan_available(meta, frames.shape[0])
+    )
+
+
+def _two_phase_chunk(params, meta: ModelMeta, carry, frames):
+    """Production TPU path: TWO device programs per chunk.
+
+    Compiling precompute and the fused frame kernel as one XLA program
+    makes the whole chunk ~75% slower than the sum of its parts (measured
+    at batch 4096: 1070 ms combined vs 312 + 298 ms separate — XLA's
+    scheduling/rematerialization of the combined graph degrades both
+    halves).  Dispatch is async, so the second program queues behind the
+    first with no host round-trip between them.
+    """
+    pre, hp_out = _precompute_jit(carry.feat.input_mem, carry.feat.hp_mem, frames)
+    carry2, out, vad = _fused_jit(params, meta, carry, pre)
+    carry2 = carry2._replace(feat=carry2.feat._replace(hp_mem=hp_out))
+    return carry2, out, vad
+
+
 def _scan_batch(params, meta: ModelMeta, carry, frames):
     """frames (B, T, 480) -> (carry', out (B, T, 480), vad (B, T)).
 
@@ -129,6 +173,8 @@ def process_frames(
     if frames.ndim == 2:
         return _process_chunk(model.params, model.meta, carry, frames)
     if frames.ndim == 3:
+        if two_phase_available(model.meta, frames):
+            return _two_phase_chunk(model.params, model.meta, carry, frames)
         return _process_chunk_batch(model.params, model.meta, carry, frames)
     raise ValueError(f"frames must be (T,480) or (B,T,480), got {frames.shape}")
 

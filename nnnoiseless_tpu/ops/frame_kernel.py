@@ -76,21 +76,21 @@ _PACKED = 2 * FREQ_SIZE  # 962: [re | im]
 _NCORR = PITCH_MAX_DS + 1  # 385 doubling-correlation lags
 _SCALE = 0.00390625  # 1/256 (python float: trace-time constant)
 
-# Lane layout of the single packed per-frame input block.  One (1, block, -)
-# DMA per grid step instead of nine: with ~11 separate streamed refs the
+# Lane layout of the single packed per-frame input block.  One (fps, block,
+# -) DMA per grid step instead of nine: with ~11 separate streamed refs the
 # kernel was DMA-issue-latency-bound (measured: all compute stages skipped
 # still cost 72% of the full kernel).  Fields sit at 128-lane-aligned
-# offsets so every in-kernel slice is tile-aligned.
+# offsets so every in-kernel slice is tile-aligned.  Octave removal
+# arrives as precomputed candidate tables (ops/pitch.py::
+# doubling_candidates) — its ~50 data-dependent lookups are XLA gathers in
+# the chunk phase, not one-hot reductions here.
 _OFF_FILT = 0  # (480) HP-filtered frame
 _OFF_X = 512  # (962) packed lag-0 spectrum [re|im]
-_OFF_CORR = 1536  # (385) doubling correlation
-_OFF_YY = 2048  # (385) doubling energy table
-_OFF_EX = 2560  # (22) band energies
-_OFF_CEPS = 2688  # (22) cepstrum
-_OFF_SIL = 2816  # silence flag (f32 0/1)
-_OFF_PIDX = 2817  # pitch index (f32-encoded int, <= 768: exact)
-_OFF_XX = 2818  # tail energy
-_IN_LANES = 2944  # 23 * 128
+_OFF_EX = 1536  # (22) band energies
+_OFF_CEPS = 1664  # (22) cepstrum
+_OFF_CAND = 1792  # (105) octave-removal candidates
+_OFF_SIL = 1920  # silence flag (f32 0/1)
+_IN_LANES = 2048  # 16 * 128
 # Packed output block: denoised frame + vad on one stream.
 _OFF_VAD = 480
 _OUT_LANES = 512
@@ -195,55 +195,44 @@ def _gru_g(h, x, wi, wr, b, n, activation, tab2d):
     return z * h + (_F32(1.0) - z) * hh
 
 
-def _remove_doubling_block(corr, yy_lookup, xx, pitch_idx, last_period, last_gain):
-    """remove_doubling_from_tables (ops/pitch.py) on a (bk, .) block.
+def _remove_doubling_block(cand, last_period, last_gain):
+    """remove_doubling_from_candidates (ops/pitch.py) on a (bk, .) block.
 
-    corr/yy_lookup (bk, 385), xx/pitch_idx/last_period/last_gain (bk, 1).
+    cand (bk, 105) precomputed candidate lanes, last_period (bk, 1) i32,
+    last_gain (bk, 1).  Pure (bk, 1) select arithmetic — no lookups.
     Returns (period (bk,1) i32, gain (bk,1) f32)."""
-    maxp = PITCH_MAX_DS
-    t0 = jnp.minimum(_div_const(pitch_idx, 2), maxp - 1)
-    prev_period = _div_const(last_period, 2)
+    minp = _F32(PITCH_MIN_DS)
+    lane = lambda i: cand[:, i : i + 1]
+    t0, g0, xy0, yy0 = lane(0), lane(1), lane(2), lane(3)
+    prev_period = jnp.floor(last_period.astype(_F32) * _F32(0.5))
 
-    def corr_at(t):
-        return _lookup(corr, maxp - t)
-
-    xy0 = corr_at(t0)
-    yy0 = _lookup(yy_lookup, t0)
-
-    def pitch_gain(xy, yy):
-        return xy / jnp.sqrt(_F32(1.0) + xx * yy)
-
-    g0 = pitch_gain(xy0, yy0)
     best_xy, best_yy = xy0, yy0
     t, g = t0, g0
+    bidx = jnp.zeros_like(t0)
     stopped = jnp.zeros_like(t0, dtype=jnp.bool_)
 
     for k in range(2, 16):
-        t1 = _div_const(2 * t0 + k, 2 * k)
-        active = ~stopped & (t1 >= PITCH_MIN_DS)
-        stopped = stopped | (t1 < PITCH_MIN_DS)
-        if k == 2:
-            t1b = jnp.where(t1 + t0 > maxp, t0, t0 + t1)
-        else:
-            t1b = _div_const(2 * SECOND_CHECK[k] * t0 + k, 2 * k)
-        xy = (corr_at(t1) + corr_at(t1b)) * _F32(0.5)
-        yy = (_lookup(yy_lookup, t1) + _lookup(yy_lookup, t1b)) * _F32(0.5)
-        g1 = pitch_gain(xy, yy)
+        t1 = lane(4 + (k - 2))
+        active = ~stopped & (t1 >= minp)
+        stopped = stopped | (t1 < minp)
+        xy = lane(18 + (k - 2))
+        yy = lane(32 + (k - 2))
+        g1 = lane(46 + (k - 2))
         adiff = jnp.abs(t1 - prev_period)
         cont = jnp.where(
             adiff <= 1,
             last_gain,
             jnp.where(
-                (adiff <= 2) & (5 * k * k < t0),
+                (adiff <= 2) & (_F32(5 * k * k) < t0),
                 last_gain * _F32(0.5),
                 _F32(0.0),
             ),
         )
         thresh = jnp.where(
-            t1 < 3 * PITCH_MIN_DS,
+            t1 < 3 * minp,
             jnp.maximum(_F32(0.85) * g0 - cont, _F32(0.4)),
             jnp.where(
-                t1 < 2 * PITCH_MIN_DS,
+                t1 < 2 * minp,
                 jnp.maximum(_F32(0.9) * g0 - cont, _F32(0.5)),
                 jnp.maximum(_F32(0.7) * g0 - cont, _F32(0.3)),
             ),
@@ -253,23 +242,27 @@ def _remove_doubling_block(corr, yy_lookup, xx, pitch_idx, last_period, last_gai
         best_yy = jnp.where(upd, yy, best_yy)
         t = jnp.where(upd, t1, t)
         g = jnp.where(upd, g1, g)
+        bidx = jnp.where(upd, _F32(k - 1), bidx)
 
     best_xy = jnp.maximum(best_xy, _F32(0.0))
     pg = jnp.where(
         best_yy <= best_xy, _F32(1.0), best_xy / (best_yy + _F32(1.0))
     )
-    c0 = corr_at(t - 1)
-    c1 = corr_at(t)
-    c2 = corr_at(t + 1)
+    sel = jax.lax.broadcasted_iota(_F32, (1, 15), 1) == bidx
+    pick = lambda off: jnp.sum(
+        jnp.where(sel, cand[:, off : off + 15], _F32(0.0)),
+        axis=1, keepdims=True,
+    )
+    c0 = pick(60)
+    c1 = pick(75)
+    c2 = pick(90)
     offset = jnp.where(
         c2 - c0 > _F32(0.7) * (c1 - c0),
-        jnp.int32(1),
-        jnp.where(
-            c0 - c2 > _F32(0.7) * (c1 - c2), jnp.int32(-1), jnp.int32(0)
-        ),
+        _F32(1.0),
+        jnp.where(c0 - c2 > _F32(0.7) * (c1 - c2), _F32(-1.0), _F32(0.0)),
     )
     pg = jnp.minimum(pg, g)
-    period = jnp.maximum(2 * t + offset, 60)  # PITCH_MIN_PERIOD
+    period = jnp.maximum(2 * t + offset, _F32(60)).astype(jnp.int32)
     return period, pg
 
 
@@ -319,24 +312,24 @@ def _make_frame_kernel(acts: tuple, skip: tuple = (), fps: int = 1):
             x = in_ref[fi, :, _OFF_X : _OFF_X + _PACKED]  # (bk, 962) [re|im]
             ex = in_ref[fi, :, _OFF_EX : _OFF_EX + nb]  # (bk, 22)
             ceps = in_ref[fi, :, _OFF_CEPS : _OFF_CEPS + nb]  # (bk, 22)
+            cand = in_ref[fi, :, _OFF_CAND : _OFF_CAND + 105]  # (bk, 105)
             sil = in_ref[fi, :, _OFF_SIL : _OFF_SIL + 1] > _F32(0.5)  # (bk, 1)
-            pidx = in_ref[fi, :, _OFF_PIDX : _OFF_PIDX + 1].astype(jnp.int32)
-            xx = in_ref[fi, :, _OFF_XX : _OFF_XX + 1]  # (bk, 1)
-            corr = in_ref[fi, :, _OFF_CORR : _OFF_CORR + _NCORR]  # (bk, 385)
-            yy = in_ref[fi, :, _OFF_YY : _OFF_YY + _NCORR]  # (bk, 385)
-            self_frame(filt, x, ex, ceps, sil, pidx, xx, corr, yy, fi)
+            self_frame(filt, x, ex, ceps, sil, cand, fi)
 
-        def self_frame(filt, x, ex, ceps, sil, pidx, xx, corr, yy, fi):
+        def self_frame(filt, x, ex, ceps, sil, cand, fi):
             # ---- input history shift (features.rs:97-104) ----------------
             mem = jnp.concatenate([memF[:, FRAME_SIZE:], filt], axis=1)
             memF[:, :] = mem
 
             # ---- octave removal (carry-coupled half, pitch.rs:118-221) -------
             if 'rd' in skip:
-                period, pgain = jnp.maximum(pidx, 60), xx * _F32(0.0)
+                period = jnp.maximum(
+                    cand[:, 0:1].astype(jnp.int32) * 2, 60
+                )
+                pgain = cand[:, 1:2] * _F32(0.0)
             else:
                 period, pgain = _remove_doubling_block(
-                    corr, yy, xx, pidx, perF[:, :], pgainF[:, :]
+                    cand, perF[:, :], pgainF[:, :]
                 )
             perF[:, :] = period
             pgainF[:, :] = pgain
@@ -604,20 +597,20 @@ def run_fused_scan(params, meta, carry, pre, interpret: bool = False,
     packed_in = jnp.concatenate(  # time-major (T, B, _IN_LANES), see layout
         [
             pad_to(pre.filtered, _OFF_X - _OFF_FILT),
-            pad_to(pre.x, _OFF_CORR - _OFF_X),
-            pad_to(pre.corr_full, _OFF_YY - _OFF_CORR),
-            pad_to(pre.yy_lookup, _OFF_EX - _OFF_YY),
+            pad_to(pre.x, _OFF_EX - _OFF_X),
             pad_to(pre.ex, _OFF_CEPS - _OFF_EX),
-            pad_to(pre.ceps, _OFF_SIL - _OFF_CEPS),
+            pad_to(pre.ceps, _OFF_CAND - _OFF_CEPS),
+            pad_to(pre.cand, _OFF_SIL - _OFF_CAND),
             pre.silence.astype(jnp.float32).reshape(t, b, 1),
-            pre.pitch_idx.astype(jnp.float32).reshape(t, b, 1),  # <=768: exact
-            pre.xx.reshape(t, b, 1),
-            jnp.zeros((t, b, _IN_LANES - _OFF_XX - 1), jnp.float32),
+            jnp.zeros((t, b, _IN_LANES - _OFF_SIL - 1), jnp.float32),
         ],
         axis=-1,
     )
     if fps is None:  # largest frames-per-step that divides the chunk
-        fps = next(f for f in (4, 2, 1) if t % f == 0)
+        import os
+
+        want = int(os.environ.get("NNT_FPS", "4"))
+        fps = next(f for f in (want, 4, 2, 1) if f <= want and t % f == 0)
     weights = _flatten_params(params)
     packed_out, cf = frame_loop_pallas(
         weights, carry_arrays, packed_in, meta_acts(meta), block=block,

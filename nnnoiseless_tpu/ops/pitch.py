@@ -304,6 +304,151 @@ def doubling_tables(
     return corr_full, yy_lookup, xx
 
 
+N_DOUBLING_K = 14  # k = 2..15 octave-removal candidates
+
+
+def doubling_candidates(
+    corr_full: jnp.ndarray,
+    yy_lookup: jnp.ndarray,
+    xx: jnp.ndarray,
+    pitch_idx: jnp.ndarray,
+) -> jnp.ndarray:
+    """Frame-local candidate tables for octave removal, packed on lanes.
+
+    Everything remove_doubling looks up is a function of the frame-local
+    ``pitch_idx`` alone — the cross-frame carry (last_period, last_gain)
+    only enters the accept thresholds (pitch.rs:173-189).  So the ~50
+    data-dependent table lookups are hoisted here (XLA gathers, batched
+    over all (B, T) frames) and the scan/kernel keeps only the 14-step
+    select chain on these lanes (remove_doubling_from_candidates).
+
+    Returns (105,) f32, layout::
+
+        [0]      t0 (exact small int as f32)
+        [1]      g0
+        [2]      xy0
+        [3]      yy0
+        [4:18]   t1 for k = 2..15
+        [18:32]  xy_k   (averaged two-lag correlation)
+        [32:46]  yy_k
+        [46:60]  g1_k
+        [60:75]  corr_at(cand - 1) for cand in [t0, t1_2..t1_15]
+        [75:90]  corr_at(cand)
+        [90:105] corr_at(cand + 1)
+    """
+    max_period = PITCH_MAX_DS
+    t0 = jnp.minimum(pitch_idx // 2, max_period - 1)
+
+    def corr_at(t):
+        return corr_full[max_period - t]
+
+    def pitch_gain(xy, yy):
+        return xy / jnp.sqrt(_F32(1.0) + xx * yy)
+
+    xy0 = corr_at(t0)
+    yy0 = yy_lookup[t0]
+    g0 = pitch_gain(xy0, yy0)
+
+    t1s, xys, yys, g1s = [], [], [], []
+    for k in range(2, 16):
+        t1 = (2 * t0 + k) // (2 * k)
+        if k == 2:
+            t1b = jnp.where(t1 + t0 > max_period, t0, t0 + t1)
+        else:
+            t1b = (2 * SECOND_CHECK[k] * t0 + k) // (2 * k)
+        xy = (corr_at(t1) + corr_at(t1b)) * _F32(0.5)
+        yy = (yy_lookup[t1] + yy_lookup[t1b]) * _F32(0.5)
+        t1s.append(t1)
+        xys.append(xy)
+        yys.append(yy)
+        g1s.append(pitch_gain(xy, yy))
+
+    cands = [t0] + t1s
+    cm1 = [corr_at(t - 1) for t in cands]
+    cc = [corr_at(t) for t in cands]
+    cp1 = [corr_at(t + 1) for t in cands]
+
+    f = lambda vs: jnp.stack([jnp.asarray(v, _F32) for v in vs])
+    return jnp.concatenate(
+        [
+            jnp.stack([t0.astype(_F32), g0, xy0, yy0]),
+            f(t1s), f(xys), f(yys), f(g1s), f(cm1), f(cc), f(cp1),
+        ]
+    )
+
+
+def remove_doubling_from_candidates(
+    cand: jnp.ndarray,
+    last_period: jnp.ndarray,
+    last_gain: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """The carry-dependent half of octave removal on precomputed candidate
+    lanes (see doubling_candidates): the k=2..15 threshold/select chain
+    with the previous frame's continuity bonus (pitch.rs:173-221).  All
+    integer quantities ride as exact small floats — no gathers, no integer
+    division."""
+    min_period = _F32(PITCH_MIN_DS)
+    t0 = cand[0]
+    g0 = cand[1]
+    xy0, yy0 = cand[2], cand[3]
+    prev_period = jnp.floor(last_period.astype(_F32) * _F32(0.5))
+
+    best_xy, best_yy = xy0, yy0
+    t, g = t0, g0
+    bidx = _F32(0.0)  # selected candidate index (0 = t0, k-1 for k)
+    stopped = jnp.bool_(False)
+
+    for k in range(2, 16):
+        t1 = cand[4 + (k - 2)]
+        active = ~stopped & (t1 >= min_period)
+        stopped = stopped | (t1 < min_period)
+        xy = cand[18 + (k - 2)]
+        yy = cand[32 + (k - 2)]
+        g1 = cand[46 + (k - 2)]
+        adiff = jnp.abs(t1 - prev_period)
+        cont = jnp.where(
+            adiff <= 1,
+            last_gain,
+            jnp.where(
+                (adiff <= 2) & (_F32(5 * k * k) < t0),
+                last_gain * _F32(0.5),
+                _F32(0.0),
+            ),
+        )
+        thresh = jnp.where(
+            t1 < 3 * min_period,
+            jnp.maximum(_F32(0.85) * g0 - cont, _F32(0.4)),
+            jnp.where(
+                t1 < 2 * min_period,
+                jnp.maximum(_F32(0.9) * g0 - cont, _F32(0.5)),
+                jnp.maximum(_F32(0.7) * g0 - cont, _F32(0.3)),
+            ),
+        )
+        upd = active & (g1 > thresh)
+        best_xy = jnp.where(upd, xy, best_xy)
+        best_yy = jnp.where(upd, yy, best_yy)
+        t = jnp.where(upd, t1, t)
+        g = jnp.where(upd, g1, g)
+        bidx = jnp.where(upd, _F32(k - 1), bidx)
+
+    best_xy = jnp.maximum(best_xy, _F32(0.0))
+    pg = jnp.where(best_yy <= best_xy, _F32(1.0), best_xy / (best_yy + _F32(1.0)))
+
+    sel = jnp.arange(15, dtype=_F32) == bidx
+    pick = lambda off: jnp.sum(jnp.where(sel, cand[off : off + 15], _F32(0.0)))
+    c0 = pick(60)
+    c1 = pick(75)
+    c2 = pick(90)
+    offset = jnp.where(
+        c2 - c0 > _F32(0.7) * (c1 - c0),
+        _F32(1.0),
+        jnp.where(c0 - c2 > _F32(0.7) * (c1 - c2), _F32(-1.0), _F32(0.0)),
+    )
+    pg = jnp.minimum(pg, g)
+    period = jnp.maximum(2 * t + offset, _F32(PITCH_MIN_PERIOD))
+    return period.astype(jnp.int32), pg
+
+
 def remove_doubling(
     x: jnp.ndarray,
     pitch_idx: jnp.ndarray,

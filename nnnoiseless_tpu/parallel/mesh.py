@@ -57,13 +57,23 @@ def shard_batch(tree, mesh: Mesh, axis_name: str = "dp"):
 
 
 @functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(2,))
-def _sharded_chunk(params, meta: ModelMeta, carry, frames):
-    """Identical math to denoise._process_chunk_batch; sharding comes from
-    the operand placements (GSPMD propagates the batch sharding through the
-    scan), so one jitted program serves any mesh."""
+def _sharded_chunk_one(params, meta: ModelMeta, carry, frames):
     from ..denoise import _scan_batch
 
     return _scan_batch(params, meta, carry, frames)
+
+
+def _sharded_chunk(params, meta: ModelMeta, carry, frames):
+    """Identical math to denoise._process_chunk_batch; sharding comes from
+    the operand placements (GSPMD propagates the batch sharding through the
+    scan), so the same programs serve any mesh.  On TPU this dispatches the
+    two-phase path (precompute program + fused-kernel program — compiling
+    them together degrades both, see denoise._two_phase_chunk)."""
+    from ..denoise import _two_phase_chunk, two_phase_available
+
+    if two_phase_available(meta, frames):
+        return _two_phase_chunk(params, meta, carry, frames)
+    return _sharded_chunk_one(params, meta, carry, frames)
 
 
 def sharded_process_frames(

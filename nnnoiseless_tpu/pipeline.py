@@ -321,10 +321,8 @@ class FramePre(NamedTuple):
     ex: jnp.ndarray  # (22,) band energies of x
     silence: jnp.ndarray  # () bool, total energy < 0.04
     ceps: jnp.ndarray  # (22,) cepstrum (DCT of ly, offsets applied)
-    pitch_idx: jnp.ndarray  # () int32, post-search pre-doubling pitch index
-    corr_full: jnp.ndarray  # (385,) dense doubling correlations
-    yy_lookup: jnp.ndarray  # (385,) doubling window energies
-    xx: jnp.ndarray  # () doubling reference energy
+    cand: jnp.ndarray  # (105,) octave-removal candidate tables
+    #                    (ops/pitch.py::doubling_candidates layout)
 
 
 def frame_step_hoisted(
@@ -339,17 +337,12 @@ def frame_step_hoisted(
     RNN, and gain application + synthesis.  ``hp_mem`` is unused here (the
     chunk filter owns it); the caller patches the final value.
     """
-    from .ops.pitch import remove_doubling_from_tables
+    from .ops.pitch import remove_doubling_from_candidates
 
     state = carry.feat
     input_mem = jnp.concatenate([state.input_mem[FRAME_SIZE:], pre.filtered])
-    period, pgain = remove_doubling_from_tables(
-        pre.corr_full,
-        pre.yy_lookup,
-        pre.xx,
-        pre.pitch_idx,
-        state.pitch_period,
-        state.pitch_gain,
+    period, pgain = remove_doubling_from_candidates(
+        pre.cand, state.pitch_period, state.pitch_gain
     )
     p = forward_transform(window_at_lag(input_mem, period))  # (2, 481)
     ep = band_energies(p)

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import FRAME_SIZE, PITCH_BUF_SIZE
-from ..ops.pitch import remove_doubling_from_tables
+from ..ops.pitch import remove_doubling_from_candidates
 
 
 @functools.partial(jax.jit, static_argnums=())
@@ -31,13 +31,8 @@ def _pitch_trace_jit(frames: jnp.ndarray):
 
     def step(carry, pre_t):
         last_period, last_gain = carry
-        period, gain = jax.vmap(remove_doubling_from_tables)(
-            pre_t.corr_full,
-            pre_t.yy_lookup,
-            pre_t.xx,
-            pre_t.pitch_idx,
-            last_period,
-            last_gain,
+        period, gain = jax.vmap(remove_doubling_from_candidates)(
+            pre_t.cand, last_period, last_gain
         )
         return (period, gain), (period, gain)
 
@@ -48,7 +43,7 @@ def _pitch_trace_jit(frames: jnp.ndarray):
 
 def pitch_trace(signal: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Per-frame (period, gain) of the PRODUCTION pitch path (the same
-    precompute_chunk + remove_doubling_from_tables ops the scan engine
+    precompute_chunk + remove_doubling_from_candidates ops the scan engine
     runs), from a fresh state.
 
     ``signal`` is mono f32 in the i16 range; trailing samples beyond a
