@@ -100,7 +100,9 @@ def precompute_chunk(
     fwd_basis = jnp.asarray(dense_dft_bases()[0])  # (960, 962)
     first_prev = input_mem[:, PITCH_BUF_SIZE - WINDOW_SIZE + FRAME_SIZE :]
     fprev = jnp.concatenate([first_prev[None], filtered_tm[:-1]], axis=0)
-    prec = jax.lax.Precision.HIGHEST
+    # 3-pass bf16 (~2^-21 rel, ~0.03 i16 units on full-scale audio):
+    # validated against the golden per-sample bar on TPU.
+    prec = jax.lax.Precision.HIGH
     x = jnp.matmul(fprev, fwd_basis[:FRAME_SIZE], precision=prec) + jnp.matmul(
         filtered_tm, fwd_basis[FRAME_SIZE:], precision=prec
     )
@@ -135,11 +137,15 @@ def precompute_chunk(
     search = jax.vmap(pitch_search)(x_lp, corr_shared)
     pitch_idx = PITCH_MAX_PERIOD - search
 
-    def cand_row(x_lp_row, corr_row, pidx_row):
-        corr_full, yy_lookup, xx = doubling_tables(x_lp_row, corr_row)
-        return doubling_candidates(corr_full, yy_lookup, xx, pidx_row)
+    corr_full, yy_lookup, xx = jax.vmap(doubling_tables)(x_lp, corr_shared)
+    if jax.default_backend() == "cpu":
+        cand = jax.vmap(doubling_candidates)(corr_full, yy_lookup, xx, pitch_idx)
+    else:
+        # the ~100 per-row dynamic lookups as a parallel Pallas kernel —
+        # XLA lowers them as serial gathers (+550 ms at production batch)
+        from .ops.frame_kernel import candidates_pallas
 
-    cand = jax.vmap(cand_row)(x_lp, corr_shared, pitch_idx)
+        cand = candidates_pallas(corr_full, yy_lookup, xx, pitch_idx)
 
     pre = FramePre(
         filtered=filtered_tm,

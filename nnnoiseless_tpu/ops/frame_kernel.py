@@ -248,7 +248,9 @@ def _remove_doubling_block(cand, last_period, last_gain):
     pg = jnp.where(
         best_yy <= best_xy, _F32(1.0), best_xy / (best_yy + _F32(1.0))
     )
-    sel = jax.lax.broadcasted_iota(_F32, (1, 15), 1) == bidx
+    sel = jax.lax.broadcasted_iota(jnp.int32, (1, 15), 1) == bidx.astype(
+        jnp.int32
+    )
     pick = lambda off: jnp.sum(
         jnp.where(sel, cand[:, off : off + 15], _F32(0.0)),
         axis=1, keepdims=True,
@@ -264,6 +266,93 @@ def _remove_doubling_block(cand, last_period, last_gain):
     pg = jnp.minimum(pg, g)
     period = jnp.maximum(2 * t + offset, _F32(60)).astype(jnp.int32)
     return period, pg
+
+
+def _make_cand_kernel():
+    """Candidate-table builder (ops/pitch.py::doubling_candidates layout).
+
+    A *parallel* Pallas kernel — grid over row blocks, no sequential axis,
+    no carries — whose one-hot lane reductions are the TPU-native gather:
+    XLA lowers the same ~100 per-row dynamic lookups as serial gathers
+    (measured +550 ms on the batched precompute), while here they are
+    fully pipelined VPU compare-select-reduces (~6 ms).
+    """
+    maxp = PITCH_MAX_DS
+
+    def kernel(corr_ref, yy_ref, xx_ref, pidx_ref, out_ref):
+        corr = corr_ref[:, :]  # (bk, 385)
+        yy_tab = yy_ref[:, :]  # (bk, 385)
+        xx = xx_ref[:, :]  # (bk, 1)
+        pidx = pidx_ref[:, :]  # (bk, 1) i32
+        t0 = jnp.minimum(_div_const(pidx, 2), maxp - 1)
+
+        def corr_at(t):
+            return _lookup(corr, maxp - t)
+
+        def pitch_gain(xy, yy):
+            return xy / jnp.sqrt(_F32(1.0) + xx * yy)
+
+        xy0 = corr_at(t0)
+        yy0 = _lookup(yy_tab, t0)
+        g0 = pitch_gain(xy0, yy0)
+
+        t1s, xys, yys, g1s = [], [], [], []
+        for k in range(2, 16):
+            t1 = _div_const(2 * t0 + k, 2 * k)
+            if k == 2:
+                t1b = jnp.where(t1 + t0 > maxp, t0, t0 + t1)
+            else:
+                t1b = _div_const(2 * SECOND_CHECK[k] * t0 + k, 2 * k)
+            xy = (corr_at(t1) + corr_at(t1b)) * _F32(0.5)
+            yy = (_lookup(yy_tab, t1) + _lookup(yy_tab, t1b)) * _F32(0.5)
+            t1s.append(t1)
+            xys.append(xy)
+            yys.append(yy)
+            g1s.append(pitch_gain(xy, yy))
+
+        cands = [t0] + t1s
+        cm1 = [corr_at(t - 1) for t in cands]
+        cc = [corr_at(t) for t in cands]
+        cp1 = [corr_at(t + 1) for t in cands]
+
+        out_ref[:, :] = jnp.concatenate(
+            [t0.astype(_F32), g0, xy0, yy0]
+            + [t.astype(_F32) for t in t1s]
+            + xys + yys + g1s + cm1 + cc + cp1,
+            axis=1,
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def candidates_pallas(corr, yy, xx, pidx, interpret: bool = False):
+    """(R, 385) corr / yy, (R,) xx, (R,) i32 pidx -> (R, 105) candidates.
+
+    Row counts are padded up to a block multiple (small batches / odd
+    chunk sizes); pad rows compute on zeros and are sliced away.
+    """
+    r = corr.shape[0]
+    block = 256 if r % 256 == 0 else 128
+    rp = -(-r // block) * block
+    if rp != r:
+        pad = lambda a: jnp.pad(a, ((0, rp - r),) + ((0, 0),) * (a.ndim - 1))
+        corr, yy, xx, pidx = pad(corr), pad(yy), pad(xx), pad(pidx)
+
+    def spec(lanes):
+        return pl.BlockSpec(
+            (block, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
+    out = pl.pallas_call(
+        _make_cand_kernel(),
+        grid=(rp // block,),
+        in_specs=[spec(_NCORR), spec(_NCORR), spec(1), spec(1)],
+        out_specs=spec(105),
+        out_shape=jax.ShapeDtypeStruct((rp, 105), jnp.float32),
+        interpret=interpret,
+    )(corr, yy, xx.reshape(rp, 1), pidx.reshape(rp, 1).astype(jnp.int32))
+    return out[:r]
 
 
 def _make_frame_kernel(acts: tuple, skip: tuple = (), fps: int = 1):

@@ -23,6 +23,8 @@ only cross-frame pitch state is (last_period, last_gain).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,7 +38,7 @@ from ..constants import (
     PITCH_MIN_PERIOD,
 )
 from ..tables import SECOND_CHECK
-from .precision import convolve, dot
+from .precision import dot
 
 _F32 = jnp.float32
 
@@ -135,6 +137,35 @@ def whiten(x_lp: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+@functools.lru_cache(maxsize=8)
+def _banded_ones(n: int, length: int, n_lags: int, reverse: bool = False):
+    """(n, n_lags) f32 matrix W with W[j, k] = 1 iff j in the k-th window.
+
+    Forward: window k = [k, k+length); reverse: window k = [n - length - k,
+    n - k) (the octave-removal energy table's backward walk).  Multiplying
+    ``y*y`` by W yields all sliding window energies as ONE MXU product —
+    the TPU-native form of the reference's running add/subtract energy
+    updates (pitch.rs:137-142, 400-402); lane-axis cumsum/flip chains are
+    relayout-bound on TPU (measured ~100 ms each at production batch).
+    """
+    w = np.zeros((n, n_lags), np.float32)
+    for k in range(n_lags):
+        if reverse:
+            w[n - length - k : n - k, k] = 1.0
+        else:
+            w[k : k + length, k] = 1.0
+    return w
+
+
+def window_energies(
+    y: jnp.ndarray, length: int, n_lags: int, reverse: bool = False
+) -> jnp.ndarray:
+    """||y[k : k+length]||^2 for k in [0, n_lags) (or the reversed walk),
+    batched over leading axes, as one banded matmul."""
+    w = jnp.asarray(_banded_ones(y.shape[-1], length, n_lags, reverse))
+    return jnp.matmul(y * y, w, precision=jax.lax.Precision.HIGHEST)
+
+
 def sliding_dot(x: jnp.ndarray, y: jnp.ndarray, n_lags: int) -> jnp.ndarray:
     """xcorr[i] = dot(x, y[i : i+len(x)]) for i in [0, n_lags).
 
@@ -187,9 +218,7 @@ def find_best_pitch(
     cross-check vs the sequential native engine, tests/test_pitch_trace.py).
     """
     n_lags = xcorr.shape[0]
-    y2 = y * y
-    p = jnp.concatenate([jnp.zeros((1,), _F32), jnp.cumsum(y2)])
-    w = p[length : length + n_lags] - p[:n_lags]  # ||y[i:i+length]||^2
+    w = window_energies(y, length, n_lags)  # ||y[i:i+length]||^2, one matmul
     u = jnp.maximum(_F32(1.0) + w, _F32(1.0))  # ysn as seen at each lag
 
     qualified = xcorr > _F32(0.0)
@@ -290,17 +319,15 @@ def doubling_tables(
     x_tail = x[max_period:]  # x[384:864]
     if corr_full is None:
         corr_full = sliding_dot(x_tail, x, max_period + 1)  # (385,)
-    xx = dot(x_tail, x_tail)
 
-    x2 = x * x
-    # enter[i-1] = x[384-i]^2, leave[i-1] = x[864-i]^2 for i = 1..384:
-    # reversed contiguous slices (lax.rev — a fancy-index gather here is
-    # the single hottest op of the batched precompute on TPU)
-    enter = jnp.flip(x2[:max_period], axis=-1)
-    leave = jnp.flip(x2[n : n + max_period], axis=-1)
-    deltas = enter - leave
-    yy_lookup = jnp.concatenate([xx[None], xx + jnp.cumsum(deltas)])
-    yy_lookup = jnp.maximum(yy_lookup, _F32(0.0))  # (385,)
+    # yy_lookup[k] == ||x[384-k : 864-k]||^2 (the reference's running
+    # add/subtract table telescopes to exact window energies): one banded
+    # matmul for all 385 windows.  Non-negative by construction; the
+    # clamp only guards f32 rounding.
+    yy_lookup = jnp.maximum(
+        window_energies(x, n, max_period + 1, reverse=True), _F32(0.0)
+    )
+    xx = yy_lookup[..., 0]
     return corr_full, yy_lookup, xx
 
 

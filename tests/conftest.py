@@ -44,3 +44,43 @@ def default_model():
     from nnnoiseless_tpu import RnnModel
 
     return RnnModel.default()
+
+
+def on_cpu_platform() -> bool:
+    import jax
+
+    return jax.default_backend() == "cpu"
+
+
+def assert_waveform_close(got, want, cpu_atol):
+    """Waveform comparison that is exact-ish on CPU and decision-flip-aware
+    on TPU.
+
+    On CPU both programs are plain f32 — tight atol guards regressions.  On
+    TPU, differently-compiled programs (other batch size / chunk length /
+    the fused Mosaic kernel) contract matmuls with different tile reduction
+    orders; a near-tie +-1 pitch-lag flip is then legitimate and propagates
+    a decaying ~1-unit tail through the gain hangover / RNN state.  The
+    absolute parity bars vs the reference (test_golden: rel err < 1e-4, max
+    per-sample <= 3) still hold for every such program and remain the
+    correctness contract; here we assert waveform-level agreement: high
+    correlation, bounded outliers, small typical deviation.
+    """
+    got = np.asarray(got, np.float64).ravel()
+    want = np.asarray(want, np.float64).ravel()
+    if on_cpu_platform():
+        np.testing.assert_allclose(got, want, atol=cpu_atol, rtol=1e-5)
+        return
+    d = np.abs(got - want)
+    ref_e = np.sum(want**2)
+    if ref_e > 0:
+        # Same metric as the reference's cross-implementation oracle
+        # (src/lib.rs:184-194, rel squared error), at 1e-3 for the SHORT
+        # clips these tests use: one near-tie +-1-lag flip re-colors most
+        # of a 10-frame clip through the gain hangover / RNN state
+        # (measured 1.5e-4..3e-4 per flip at 10 frames on v5e; the same
+        # flip rate amortizes to ~5e-7 over the 100-frame golden run,
+        # which stays the tight absolute bar on every platform).
+        rel = np.sum(d**2) / ref_e
+        assert rel < 1e-3, f"rel squared error {rel}"
+    assert d.max() <= 64.0, f"max |delta| {d.max()}"

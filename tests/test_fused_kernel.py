@@ -41,25 +41,38 @@ def paths(testing_raw, default_model):
 
 
 def test_output_matches(paths):
+    from conftest import assert_waveform_close, on_cpu_platform
+
     (c_ref, out_ref, vad_ref), (c_k, out_k, vad_k) = paths
-    # f32 dense-basis DFT vs 3-pass-bf16 CT DFT: sub-0.01 i16 units
-    np.testing.assert_allclose(out_k, out_ref, atol=0.01)
-    np.testing.assert_allclose(vad_k, vad_ref, atol=1e-5)
+    # CPU (interpret mode): f32 on both paths — sub-0.01 i16 units.  On
+    # TPU the compiled Mosaic kernel contracts at fp32 (HIGHEST) while the
+    # XLA scan path uses 3-pass bf16 — waveform-level agreement applies.
+    assert_waveform_close(out_k, out_ref, cpu_atol=0.01)
+    np.testing.assert_allclose(
+        vad_k, vad_ref, atol=1e-5 if on_cpu_platform() else 1e-2
+    )
 
 
 def test_carries_match(paths):
+    from conftest import on_cpu_platform
+
     (c_ref, _, _), (c_k, _, _) = paths
+    tight = on_cpu_platform()
     np.testing.assert_array_equal(
         np.asarray(c_k.feat.pitch_period), np.asarray(c_ref.feat.pitch_period)
     )
     np.testing.assert_allclose(
-        c_k.feat.pitch_gain, c_ref.feat.pitch_gain, atol=1e-6
+        c_k.feat.pitch_gain, c_ref.feat.pitch_gain,
+        atol=1e-6 if tight else 1e-3,
     )
-    np.testing.assert_allclose(c_k.synthesis_mem, c_ref.synthesis_mem, atol=0.01)
     np.testing.assert_allclose(
-        c_k.feat.cepstral_mem, c_ref.feat.cepstral_mem, atol=1e-5
+        c_k.synthesis_mem, c_ref.synthesis_mem, atol=0.01 if tight else 2.0
+    )
+    np.testing.assert_allclose(
+        c_k.feat.cepstral_mem, c_ref.feat.cepstral_mem,
+        atol=1e-5 if tight else 1e-2,
     )
     np.testing.assert_allclose(c_k.feat.input_mem, c_ref.feat.input_mem, atol=0)
     for a, b in zip(c_k.rnn, c_ref.rnn):
-        np.testing.assert_allclose(a, b, atol=1e-4)
-    np.testing.assert_allclose(c_k.lastg, c_ref.lastg, atol=1e-4)
+        np.testing.assert_allclose(a, b, atol=1e-4 if tight else 1e-2)
+    np.testing.assert_allclose(c_k.lastg, c_ref.lastg, atol=1e-4 if tight else 1e-2)

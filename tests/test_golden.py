@@ -60,4 +60,6 @@ def test_chunked_equals_oneshot(testing_raw, default_model):
         o, _ = st.process_frame(f)
         parts.append(o)
     chunked = np.concatenate(parts)
-    np.testing.assert_allclose(chunked, one, atol=1.0, rtol=1e-5)
+    from conftest import assert_waveform_close
+
+    assert_waveform_close(chunked, one, cpu_atol=1.0)

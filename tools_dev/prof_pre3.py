@@ -1,5 +1,6 @@
 """Stage timing of precompute v3 (split-basis lag-0 DFT), readback-synced."""
 import time, sys
+import sys; sys.path.insert(0, "/root/repo")
 import numpy as np
 import jax, jax.numpy as jnp
 from nnnoiseless_tpu import RnnModel, init_batch_carry
@@ -71,6 +72,17 @@ del flat
 corr = timeit("xcorr_dft 385", jax.jit(lambda v: xcorr_dft(v[:, PITCH_MAX_DS:], v, PITCH_MAX_DS + 1)), xlp)
 timeit("pitch_search (w/ shared corr)", jax.jit(jax.vmap(pitch_search)), xlp, corr)
 timeit("doubling_tables (w/ corr)", jax.jit(jax.vmap(doubling_tables)), xlp, corr)
-del corr, xlp, full
+del corr, xlp
 f_pre = jax.jit(lambda im, hp, fr: precompute_chunk(im, hp, fr))
 timeit("precompute_chunk full", f_pre, carry.feat.input_mem, carry.feat.hp_mem, frames)
+
+# candidates builder (TPU pallas path)
+from nnnoiseless_tpu.ops.frame_kernel import candidates_pallas
+flat2 = jax.jit(lambda fu: mk_xlp(fu))(full)
+xlp2 = jax.jit(jax.vmap(whiten))(flat2)
+corr2 = jax.jit(lambda v: xcorr_dft(v[:, PITCH_MAX_DS:], v, PITCH_MAX_DS + 1))(xlp2)
+tabs = jax.jit(jax.vmap(doubling_tables))(xlp2, corr2)
+pidx2 = jax.jit(lambda x, c: jax.vmap(pitch_search)(x, c))(xlp2, corr2)
+import jax.numpy as jnp2
+pidx2 = 768 - pidx2
+timeit("candidates_pallas", jax.jit(candidates_pallas), tabs[0], tabs[1], tabs[2], pidx2)
