@@ -115,7 +115,12 @@ def biquad_filter_frames(
             float(a[0]), float(a[1]), float(b[0]), float(b[1]), n
         )
     )
-    hp = jax.lax.Precision.HIGH
+    # Full fp32 contraction: the unrolled-recurrence rows carry ~250
+    # slowly-decaying coefficients whose large partial sums cancel to an
+    # O(input) result, so 3-pass bf16 loses up to ~160 i16 units at
+    # production batch (tiling-dependent; measured vs an f64 oracle on
+    # v5e).  HIGHEST keeps the error < 0.1 units at every batch size.
+    hp = jax.lax.Precision.HIGHEST
     xw = jnp.matmul(frames, W, precision=hp)  # (B, T, n)
     xh = jnp.matmul(frames, H, precision=hp)  # (B, T, 2)
 
@@ -145,7 +150,8 @@ def biquad_filter_dense(
             float(a[0]), float(a[1]), float(b[0]), float(b[1]), n
         )
     )
-    hp = jax.lax.Precision.HIGH  # 3-pass bf16: ~1e-7 rel err, 2x faster
+    hp = jax.lax.Precision.HIGHEST  # see biquad_filter_frames: the
+    # unrolled-recurrence contraction cancels large partial sums
     y = x + jnp.matmul(x, W, precision=hp) + jnp.matmul(mem, P, precision=hp)
     mem_out = jnp.matmul(x, H, precision=hp) + jnp.matmul(mem, Q, precision=hp)
     return y, mem_out

@@ -76,21 +76,18 @@ _PACKED = 2 * FREQ_SIZE  # 962: [re | im]
 _NCORR = PITCH_MAX_DS + 1  # 385 doubling-correlation lags
 _SCALE = 0.00390625  # 1/256 (python float: trace-time constant)
 
-# Lane layout of the single packed per-frame input block.  One (fps, block,
-# -) DMA per grid step instead of nine: with ~11 separate streamed refs the
-# kernel was DMA-issue-latency-bound (measured: all compute stages skipped
-# still cost 72% of the full kernel).  Fields sit at 128-lane-aligned
-# offsets so every in-kernel slice is tile-aligned.  Octave removal
-# arrives as precomputed candidate tables (ops/pitch.py::
-# doubling_candidates) — its ~50 data-dependent lookups are XLA gathers in
-# the chunk phase, not one-hot reductions here.
-_OFF_FILT = 0  # (480) HP-filtered frame
-_OFF_X = 512  # (962) packed lag-0 spectrum [re|im]
-_OFF_EX = 1536  # (22) band energies
-_OFF_CEPS = 1664  # (22) cepstrum
-_OFF_CAND = 1792  # (105) octave-removal candidates
-_OFF_SIL = 1920  # silence flag (f32 0/1)
-_IN_LANES = 2048  # 16 * 128
+# Per-frame inputs arrive as THREE streamed refs: the HP-filtered frame
+# (fps, block, 480) and lag-0 spectrum (fps, block, 962) unmodified as the
+# precompute produced them (packing them would cost a 2.4 GB concat copy
+# per production chunk), plus one small packed block for the narrow
+# fields.  Octave removal arrives as precomputed candidate tables
+# (ops/pitch.py::doubling_candidates) — its ~50 data-dependent lookups are
+# a parallel Pallas kernel in the chunk phase (candidates_pallas).
+_SM_EX = 0  # (22) band energies
+_SM_CEPS = 22  # (22) cepstrum
+_SM_CAND = 44  # (105) octave-removal candidates
+_SM_SIL = 149  # silence flag (f32 0/1)
+_SM_LANES = 256  # 2 * 128
 # Packed output block: denoised frame + vad on one stream.
 _OFF_VAD = 480
 _OUT_LANES = 512
@@ -376,8 +373,9 @@ def _make_frame_kernel(acts: tuple, skip: tuple = (), fps: int = 1):
         do_w, do_b, vo_w, vo_b,
         # initial carries (index i)
         mem0, synth0, cmem0, hv0, hn0, hd0, lastg0, per0, pgain0,
-        # per-frame xs: ONE packed (1, bk, _IN_LANES) block (index i, t)
-        in_ref,
+        # per-frame xs (index i, t): filtered frame, lag-0 spectrum,
+        # packed small fields
+        filt_ref, x_ref, sm_ref,
         # outputs: packed stream (index i, t) then resident carries (index i)
         out_ref,
         memF, synthF, cmemF, hvF, hnF, hdF, lastgF, perF, pgainF,
@@ -397,12 +395,12 @@ def _make_frame_kernel(acts: tuple, skip: tuple = (), fps: int = 1):
             pgainF[:, :] = pgain0[:, :]
 
         def one_frame(fi):
-            filt = in_ref[fi, :, _OFF_FILT : _OFF_FILT + FRAME_SIZE]  # (bk, 480)
-            x = in_ref[fi, :, _OFF_X : _OFF_X + _PACKED]  # (bk, 962) [re|im]
-            ex = in_ref[fi, :, _OFF_EX : _OFF_EX + nb]  # (bk, 22)
-            ceps = in_ref[fi, :, _OFF_CEPS : _OFF_CEPS + nb]  # (bk, 22)
-            cand = in_ref[fi, :, _OFF_CAND : _OFF_CAND + 105]  # (bk, 105)
-            sil = in_ref[fi, :, _OFF_SIL : _OFF_SIL + 1] > _F32(0.5)  # (bk, 1)
+            filt = filt_ref[fi, :, :]  # (bk, 480)
+            x = x_ref[fi, :, :]  # (bk, 962) [re|im]
+            ex = sm_ref[fi, :, _SM_EX : _SM_EX + nb]  # (bk, 22)
+            ceps = sm_ref[fi, :, _SM_CEPS : _SM_CEPS + nb]  # (bk, 22)
+            cand = sm_ref[fi, :, _SM_CAND : _SM_CAND + 105]  # (bk, 105)
+            sil = sm_ref[fi, :, _SM_SIL : _SM_SIL + 1] > _F32(0.5)  # (bk, 1)
             self_frame(filt, x, ex, ceps, sil, cand, fi)
 
         def self_frame(filt, x, ex, ceps, sil, cand, fi):
@@ -571,7 +569,9 @@ def _make_frame_kernel(acts: tuple, skip: tuple = (), fps: int = 1):
 def frame_loop_pallas(
     weights: tuple,
     carry_arrays: tuple,
-    packed_in: jnp.ndarray,
+    filt: jnp.ndarray,
+    x: jnp.ndarray,
+    smalls: jnp.ndarray,
     acts: tuple,
     block: int = _BLOCK,
     interpret: bool = False,
@@ -582,13 +582,13 @@ def frame_loop_pallas(
 
     carry_arrays: (mem (B,1728), synth (B,480), cmem (B,176), hv, hn, hd,
                    lastg (B,22), period (B,1) i32, pgain (B,1))
-    packed_in:    TIME-MAJOR (T, B, _IN_LANES) — all per-frame precompute
-                  fields on one lane-aligned stream (offsets _OFF_*), so
-                  each grid step issues ONE input DMA instead of nine
-                  (the kernel was DMA-issue-latency-bound before packing).
+    filt/x/smalls: TIME-MAJOR (T, B, 480/962/_SM_LANES) per-frame
+                  precompute streams (filtered frames and spectra exactly
+                  as the precompute produced them; narrow fields packed on
+                  one small block, offsets _SM_*).
     Returns (packed_out (T, B, _OUT_LANES): frame + vad, new_carry_arrays).
     """
-    t, b, _ = packed_in.shape
+    t, b, _ = filt.shape
     assert b % block == 0, (b, block)
     assert t % fps == 0, (t, fps)
     grid = (b // block, t // fps)
@@ -627,7 +627,7 @@ def frame_loop_pallas(
         + [cspec(a) for a in const_in]
         + [cspec(w) for w in weights]
         + [carry_spec(a) for a in carry_arrays]
-        + [xs_spec(packed_in)]
+        + [xs_spec(filt), xs_spec(x), xs_spec(smalls)]
     )
     out_shape = (
         jax.ShapeDtypeStruct((t, b, _OUT_LANES), jnp.float32),  # frame+vad
@@ -649,7 +649,7 @@ def frame_loop_pallas(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(tab, *const_in, *weights, *carry_arrays, packed_in)
+    )(tab, *const_in, *weights, *carry_arrays, filt, x, smalls)
     return outs[0], outs[1:]
 
 
@@ -680,18 +680,13 @@ def run_fused_scan(params, meta, carry, pre, interpret: bool = False,
         feat.pitch_period.reshape(b, 1).astype(jnp.int32),
         feat.pitch_gain.reshape(b, 1),
     )
-    def pad_to(a, w):
-        return jnp.pad(a, ((0, 0), (0, 0), (0, w - a.shape[2])))
-
-    packed_in = jnp.concatenate(  # time-major (T, B, _IN_LANES), see layout
+    smalls = jnp.concatenate(  # time-major (T, B, _SM_LANES), see layout
         [
-            pad_to(pre.filtered, _OFF_X - _OFF_FILT),
-            pad_to(pre.x, _OFF_EX - _OFF_X),
-            pad_to(pre.ex, _OFF_CEPS - _OFF_EX),
-            pad_to(pre.ceps, _OFF_CAND - _OFF_CEPS),
-            pad_to(pre.cand, _OFF_SIL - _OFF_CAND),
+            pre.ex,
+            pre.ceps,
+            pre.cand,
             pre.silence.astype(jnp.float32).reshape(t, b, 1),
-            jnp.zeros((t, b, _IN_LANES - _OFF_SIL - 1), jnp.float32),
+            jnp.zeros((t, b, _SM_LANES - _SM_SIL - 1), jnp.float32),
         ],
         axis=-1,
     )
@@ -702,7 +697,8 @@ def run_fused_scan(params, meta, carry, pre, interpret: bool = False,
         fps = next(f for f in (want, 4, 2, 1) if f <= want and t % f == 0)
     weights = _flatten_params(params)
     packed_out, cf = frame_loop_pallas(
-        weights, carry_arrays, packed_in, meta_acts(meta), block=block,
+        weights, carry_arrays, pre.filtered, pre.x, smalls,
+        meta_acts(meta), block=block,
         interpret=interpret, skip=skip, fps=fps,
     )
     out = jnp.swapaxes(packed_out[:, :, :FRAME_SIZE], 0, 1)  # (B, T, 480)

@@ -163,7 +163,9 @@ def window_energies(
     """||y[k : k+length]||^2 for k in [0, n_lags) (or the reversed walk),
     batched over leading axes, as one banded matmul."""
     w = jnp.asarray(_banded_ones(y.shape[-1], length, n_lags, reverse))
-    return jnp.matmul(y * y, w, precision=jax.lax.Precision.HIGHEST)
+    # 3-pass bf16: ~2^-21 relative on all-positive sums — validated on
+    # hardware against the golden oracle + lag-exact pitch trace.
+    return jnp.matmul(y * y, w, precision=jax.lax.Precision.HIGH)
 
 
 def sliding_dot(x: jnp.ndarray, y: jnp.ndarray, n_lags: int) -> jnp.ndarray:

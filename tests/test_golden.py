@@ -63,3 +63,34 @@ def test_chunked_equals_oneshot(testing_raw, default_model):
     from conftest import assert_waveform_close
 
     assert_waveform_close(chunked, one, cpu_atol=1.0)
+
+
+def test_golden_through_fused_batch(testing_raw, reference_output, default_model):
+    """The production batched engine (B=128 -> the compiled Pallas kernel
+    on TPU) must itself pass the reference oracle, not just the B=1 path.
+
+    Skipped on CPU: B=128 through the XLA fallback is minutes of compile
+    for a path test_fused_kernel already pins in interpret mode; on the
+    TPU lane this is the end-to-end hardware check of the fused kernel.
+    """
+    import pytest
+    from conftest import on_cpu_platform
+
+    if on_cpu_platform():
+        pytest.skip("TPU-lane test (CPU covered by test_fused_kernel)")
+
+    from nnnoiseless_tpu import init_batch_carry, process_frames
+
+    t = len(testing_raw) // FRAME_SIZE
+    frames = np.broadcast_to(
+        testing_raw[: t * FRAME_SIZE].reshape(1, t, FRAME_SIZE),
+        (128, t, FRAME_SIZE),
+    )
+    carry = init_batch_carry(default_model.meta, 128)
+    _, out, _ = process_frames(default_model, carry, np.ascontiguousarray(frames))
+    got = np.asarray(out)[0].reshape(-1)[FRAME_SIZE:]
+    want = reference_output[: len(got)].astype(np.float64)
+    got_i = np.clip(np.rint(got), -32768, 32767)
+    rel = np.sum((want - got_i) ** 2) / np.sum(got_i**2)
+    assert rel < 1e-4, f"fused-batch golden rel err {rel}"
+    assert np.abs(want - got_i).max() <= 3.0
