@@ -8,14 +8,16 @@ HBM<->VMEM staging (docs/PERFORMANCE.md), so the TPU-native shape of the
 algorithm splits it:
 
 * :func:`precompute_chunk` (here): every frame-local product for ALL
-  frames of a chunk — HP filtering, lag-0 windowed spectra + band/log
-  energies + cepstra, pitch downsample/whiten/search and the dense
-  octave-removal tables — as a handful of large (B*T)-batched MXU
-  contractions *before* the scan;
-* :func:`pipeline.frame_step_hoisted`: a lean scan body consuming one
-  per-frame slice of the precompute and performing only the carry-coupled
-  remainder (octave-removal selection, pitch-lag transform, cepstral
-  ring, RNN, synthesis).
+  frames of a chunk — HP filtering, pitch downsample/whiten/search and
+  the dense octave-removal tables (plus, for the non-fused scan path,
+  lag-0 windowed spectra + band/log energies + cepstra; the fused kernel
+  computes those in-VMEM itself, ``lag0=False``) — as a handful of large
+  (B*T)-batched MXU contractions *before* the scan;
+* :func:`pipeline.frame_step_hoisted` (or the fused Pallas kernel,
+  ops/frame_kernel.py): a lean scan body consuming one per-frame slice of
+  the precompute and performing only the carry-coupled remainder
+  (octave-removal selection, pitch-lag transform, cepstral ring, RNN,
+  synthesis).
 
 The split is exact: each hoisted quantity is a pure function of the
 HP-filtered input signal, which the chunk-level biquad provides up front
@@ -73,12 +75,20 @@ def precompute_chunk(
     input_mem: jnp.ndarray,  # (B, 1728) carried input history
     hp_mem: jnp.ndarray,  # (B, 2) biquad carry
     frames: jnp.ndarray,  # (B, T, 480) raw input frames
+    lag0: bool = True,
 ) -> tuple[FramePre, jnp.ndarray]:
     """All frame-local analysis for a chunk.
 
     Returns (pre, hp_mem') with every FramePre field TIME-MAJOR (T, B, ...)
     — the layout the frame scan's xs and the fused kernel's streaming
     blocks both want (Mosaic requires the sequential axis to lead).
+
+    ``lag0=False`` (the fused-kernel path): the lag-0 spectrum / band
+    energy / cepstrum / silence products are computed *inside* the frame
+    kernel from its VMEM-resident input history (ops/frame_kernel.py),
+    so this phase skips them entirely — the corresponding FramePre fields
+    come back as None.  This deletes the precompute's largest matmul and
+    the (T, B, 962) HBM spectrum stream it used to hand the kernel.
     """
     b, t, _ = frames.shape
     filtered, hp_out = biquad_filter_frames(
@@ -89,28 +99,30 @@ def precompute_chunk(
     full = jnp.concatenate([input_mem, filtered.reshape(b, t * FRAME_SIZE)], axis=1)
     filtered_tm = _frame_windows(full, t, PITCH_BUF_SIZE, FRAME_SIZE, FRAME_SIZE)
 
-    # ---- lag-0 spectra -> band energies -> log spectrum -> cepstra --------
-    # Dense f32 MXU product (window + rfft + wnorm folded into the basis,
-    # same bases as the fused frame kernel's pitch-lag transform).  The
-    # 960-sample analysis window of frame t is exactly [frame t-1 | frame t]
-    # of the filtered signal, so instead of materializing a (T, B, 960)
-    # window stack (1.5 GB at production batch) the basis is split in half
-    # and applied to the already-stacked (T, B, 480) frames and their
-    # 1-frame-shifted view.
-    fwd_basis = jnp.asarray(dense_dft_bases()[0])  # (960, 962)
-    first_prev = input_mem[:, PITCH_BUF_SIZE - WINDOW_SIZE + FRAME_SIZE :]
-    fprev = jnp.concatenate([first_prev[None], filtered_tm[:-1]], axis=0)
-    # 3-pass bf16 (~2^-21 rel, ~0.03 i16 units on full-scale audio):
-    # validated against the golden per-sample bar on TPU.
-    prec = jax.lax.Precision.HIGH
-    x = jnp.matmul(fprev, fwd_basis[:FRAME_SIZE], precision=prec) + jnp.matmul(
-        filtered_tm, fwd_basis[FRAME_SIZE:], precision=prec
-    )
-    ex = band_energies_flat(x)  # (T, B, 22), no packed reshape
-    ly, e = log_spectrum(ex)
-    silence = e < _F32(0.04)
-    ceps = dct22(ly)
-    ceps = ceps.at[..., 0].add(_F32(-12.0)).at[..., 1].add(_F32(-4.0))
+    x = ex = silence = ceps = None
+    if lag0:
+        # ---- lag-0 spectra -> band energies -> log spectrum -> cepstra ----
+        # Dense f32 MXU product (window + rfft + wnorm folded into the
+        # basis, same bases as the fused frame kernel's pitch-lag
+        # transform).  The 960-sample analysis window of frame t is exactly
+        # [frame t-1 | frame t] of the filtered signal, so instead of
+        # materializing a (T, B, 960) window stack (1.5 GB at production
+        # batch) the basis is split in half and applied to the
+        # already-stacked (T, B, 480) frames and their 1-frame-shifted view.
+        fwd_basis = jnp.asarray(dense_dft_bases()[0])  # (960, 962)
+        first_prev = input_mem[:, PITCH_BUF_SIZE - WINDOW_SIZE + FRAME_SIZE :]
+        fprev = jnp.concatenate([first_prev[None], filtered_tm[:-1]], axis=0)
+        # 3-pass bf16 (~2^-21 rel, ~0.03 i16 units on full-scale audio):
+        # validated against the golden per-sample bar on TPU.
+        prec = jax.lax.Precision.HIGH
+        x = jnp.matmul(fprev, fwd_basis[:FRAME_SIZE], precision=prec) + jnp.matmul(
+            filtered_tm, fwd_basis[FRAME_SIZE:], precision=prec
+        )
+        ex = band_energies_flat(x)  # (T, B, 22), no packed reshape
+        ly, e = log_spectrum(ex)
+        silence = e < _F32(0.04)
+        ceps = dct22(ly)
+        ceps = ceps.at[..., 0].add(_F32(-12.0)).at[..., 1].add(_F32(-4.0))
 
     # ---- pitch: per-frame downsampled + whitened buffers -------------------
     # 2x decimation of the whole signal once, then per-frame 864 windows.

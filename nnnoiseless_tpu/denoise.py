@@ -54,14 +54,18 @@ def _process_chunk(params, meta: ModelMeta, carry: DenoiseCarry, frames):
     return jax.tree_util.tree_map(lambda x: x[0], c2), out[0], vad[0]
 
 
-@jax.jit
-def _precompute_jit(input_mem, hp_mem, frames):
+@functools.partial(jax.jit, static_argnums=(3,))
+def _precompute_jit(input_mem, hp_mem, frames, lag0: bool = True):
     from .chunk import precompute_chunk
 
-    return precompute_chunk(input_mem, hp_mem, frames)
+    return precompute_chunk(input_mem, hp_mem, frames, lag0=lag0)
 
 
-@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(2, 3))
+# Only the internally-produced precompute stream is donated; the
+# caller-supplied carry is left intact (donating it would invalidate the
+# user's buffers on TPU — callers may legitimately reuse a carry, e.g. to
+# re-process from the same initial state).
+@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(3,))
 def _fused_jit(params, meta: ModelMeta, carry, pre):
     from .ops.frame_kernel import run_fused_scan
 
@@ -92,7 +96,9 @@ def _two_phase_chunk(params, meta: ModelMeta, carry, frames):
     halves).  Dispatch is async, so the second program queues behind the
     first with no host round-trip between them.
     """
-    pre, hp_out = _precompute_jit(carry.feat.input_mem, carry.feat.hp_mem, frames)
+    pre, hp_out = _precompute_jit(
+        carry.feat.input_mem, carry.feat.hp_mem, frames, False
+    )
     carry2, out, vad = _fused_jit(params, meta, carry, pre)
     carry2 = carry2._replace(feat=carry2.feat._replace(hp_mem=hp_out))
     return carry2, out, vad
@@ -118,13 +124,14 @@ def _scan_batch(params, meta: ModelMeta, carry, frames):
     from .ops.frame_kernel import fused_scan_available, run_fused_scan
     from .pipeline import frame_step_hoisted
 
-    pre, hp_out = precompute_chunk(carry.feat.input_mem, carry.feat.hp_mem, frames)
-
     batch = frames.shape[0]
     use_fused = (
         os.environ.get("NNT_FUSED", "1") != "0"
         and jax.default_backend() != "cpu"
         and fused_scan_available(meta, batch)
+    )
+    pre, hp_out = precompute_chunk(
+        carry.feat.input_mem, carry.feat.hp_mem, frames, lag0=not use_fused
     )
     if use_fused:
         carry, out, vad = run_fused_scan(params, meta, carry, pre)

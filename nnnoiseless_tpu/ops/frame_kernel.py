@@ -16,13 +16,22 @@ a block of streams inside one ``pallas_call``:
 * every weight and table — both DFT bases, band/interp matrices, the DCT,
   the GRU weights, the tansig table — has a constant index map and is
   fetched once per block;
-* the analysis/synthesis DFTs are single dense f32 MXU matmuls whose bases
-  fold in the Vorbis window, the ``wnorm`` forward scale, the hermitian
-  unfold and the /2 inverse scale (reference src/features.rs:281-298,
-  263-275).  Spectra stay packed ``[re(481) | im(481)]`` on 962 lanes
-  end-to-end: band energies/correlation use a doubled (962, 22) matrix and
-  gain interpolation a doubled (22, 962) matrix, so no misaligned lane
-  splits occur anywhere;
+* the analysis/synthesis DFTs are dense MXU matmuls whose bases fold in
+  the Vorbis window, the ``wnorm`` forward scale, the hermitian unfold and
+  the /2 inverse scale (reference src/features.rs:281-298, 263-275); the
+  three big bases contract as manual 3-pass bf16 (hi/lo split, _mm3 — the
+  precision class the XLA path is parity-validated at; Mosaic itself only
+  exposes 1-pass bf16 and 6-pass f32).  Spectra stay packed
+  ``[re(481) | im(481)]`` on 962 lanes end-to-end: band
+  energies/correlation use a doubled (962, 22) matrix and gain
+  interpolation a doubled (22, 962) matrix, so no misaligned lane splits
+  occur anywhere;
+* the ENTIRE lag-0 analysis — windowed DFT, band energies, the floored
+  log spectrum, cepstrum and the silence gate (features.rs:115-169) — runs
+  in-kernel from the VMEM-resident input history: the only per-frame
+  streams are the HP-filtered frame and the octave-removal candidate
+  tables (round 3; previously the precompute streamed a (T, B, 962)
+  spectrum tensor through HBM);
 * remove_doubling's data-dependent table lookups are one-hot lane
   reductions, the tansig table values are recomputed as tanh of the grid
   point (see _tansig_g), and the //(2k) integer divisions use an exact
@@ -70,26 +79,29 @@ from ..tables import (
 from .rnn_pallas import _flatten_params, _DIMS
 
 _F32 = jnp.float32
+_BF16 = jnp.bfloat16
 _BLOCK = 128
 _N_ROLL_BITS = 10  # lags < 1024 (PITCH_MAX_PERIOD = 768)
 _PACKED = 2 * FREQ_SIZE  # 962: [re | im]
 _NCORR = PITCH_MAX_DS + 1  # 385 doubling-correlation lags
 _SCALE = 0.00390625  # 1/256 (python float: trace-time constant)
 
-# Per-frame inputs arrive as THREE streamed refs: the HP-filtered frame
-# (fps, block, 480) and lag-0 spectrum (fps, block, 962) unmodified as the
-# precompute produced them (packing them would cost a 2.4 GB concat copy
-# per production chunk), plus one small packed block for the narrow
-# fields.  Octave removal arrives as precomputed candidate tables
-# (ops/pitch.py::doubling_candidates) — its ~50 data-dependent lookups are
-# a parallel Pallas kernel in the chunk phase (candidates_pallas).
-_SM_EX = 0  # (22) band energies
-_SM_CEPS = 22  # (22) cepstrum
-_SM_CAND = 44  # (105) octave-removal candidates
-_SM_SIL = 149  # silence flag (f32 0/1)
-_SM_LANES = 256  # 2 * 128
-# Packed output block: denoised frame + vad on one stream.
+# Per-frame inputs arrive as TWO streamed refs: the HP-filtered frame
+# (fps, block, 480) and the octave-removal candidate tables
+# (fps, block, 105; ops/pitch.py::doubling_candidates layout — the ~50
+# data-dependent lookups are a parallel Pallas kernel in the chunk phase,
+# candidates_pallas).  Everything else the frame needs — the lag-0
+# spectrum, band energies, log/cepstral features, the silence gate — is
+# computed IN-KERNEL from the input-history carry (round 3: this deleted
+# the precompute's largest matmul and its (T, B, 962) HBM spectrum
+# stream, reference features.rs:115-169).
+_CAND_LANES = 105
+# Packed output block: denoised frame + vad + pitch trace on one stream
+# (the trace lanes are free — the block is 512 lanes either way — and give
+# the TPU test lane a per-frame lag trace from the production kernel).
 _OFF_VAD = 480
+_OFF_PERIOD = 481
+_OFF_PGAIN = 482
 _OUT_LANES = 512
 
 
@@ -109,6 +121,39 @@ def _band_consts():
     )
     f32 = lambda m: np.ascontiguousarray(m, np.float32)
     return f32(corr2), f32(interp2), np.ascontiguousarray(DCT_TABLE, np.float32)
+
+
+def _split_hi_lo(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """f32 matrix -> (hi, lo) bf16 pair with hi + lo ~= m (manual 3-pass
+    bf16 decomposition of the DFT bases, see _mm3)."""
+    m32 = np.ascontiguousarray(m, np.float32)
+    hi = m32.astype(jnp.bfloat16)
+    lo = (m32 - hi.astype(np.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+@functools.lru_cache(maxsize=1)
+def _dft_consts_split():
+    fwd, iv1, iv2 = _dft_consts()
+    return tuple(_split_hi_lo(m) for m in (fwd, iv1, iv2))
+
+
+def _split3(x):
+    """f32 (bk, n) -> (hi, lo) bf16 operand decomposition."""
+    hi = x.astype(_BF16)
+    lo = (x - hi.astype(_F32)).astype(_BF16)
+    return hi, lo
+
+
+def _mm3(x_hl, w_hi, w_lo):
+    """3-pass bf16 contraction ~= Precision.HIGH, the precision class the
+    XLA path's DFT/correlation matmuls are parity-validated at
+    (ops/fft.py).  Mosaic exposes only DEFAULT (1-pass bf16, too lossy)
+    and HIGHEST (6-pass f32); the manual hi/lo split recovers the 3-pass
+    point, halving MXU passes on the kernel's three big DFT bases."""
+    x_hi, x_lo = x_hl
+    d = lambda a, b: jnp.dot(a, b[:, :], preferred_element_type=_F32)
+    return d(x_hi, w_hi) + (d(x_lo, w_hi) + d(x_hi, w_lo))
 
 
 def _div_const(v, d: int):
@@ -352,13 +397,18 @@ def candidates_pallas(corr, yy, xx, pidx, interpret: bool = False):
     return out[:r]
 
 
-def _make_frame_kernel(acts: tuple, skip: tuple = (), fps: int = 1):
+def _make_frame_kernel(acts: tuple, skip: tuple = (), fps: int = 1,
+                       mxu3: bool = True):
     # ``skip`` (profiling only): stub out stages to attribute kernel time —
-    # 'rd' octave removal, 'dft' lagged window+forward DFT, 'rnn', 'feat'
-    # feature assembly, 'comb' comb/gain stage, 'inv' inverse DFT+OLA.
+    # 'rd' octave removal, 'lag0' the in-kernel lag-0 DFT/feature block,
+    # 'dft' lagged window+forward DFT, 'rnn', 'feat' feature assembly,
+    # 'comb' comb/gain stage, 'inv' inverse DFT+OLA.
     # ``fps``: frames per grid step — the sequential per-frame logic is
     # unrolled fps times inside one kernel invocation, dividing the
     # per-step pipeline overhead (the dominant cost at fps=1).
+    # ``mxu3``: contract the three big DFT bases as manual 3-pass bf16
+    # (_mm3) instead of 6-pass HIGHEST; disabled in interpret mode so the
+    # CPU equivalence tests compare f32 against f32.
     a_id, a_vad, a_noise, a_den, a_do, a_vo = acts
     d_f, d_d, d_v, d_n, d_h = (
         _DIMS["f"], _DIMS["d"], _DIMS["v"], _DIMS["n"], _DIMS["h"],
@@ -366,20 +416,37 @@ def _make_frame_kernel(acts: tuple, skip: tuple = (), fps: int = 1):
     nb = NB_BANDS
     dly = NB_DELTA_CEPS
 
-    def kernel(
-        # consts
-        tab_ref, F_ref, IV1_ref, IV2_ref, CORR2_ref, INTERP2_ref, DCT_ref,
-        id_w, id_b, vw_i, vw_r, vw_b, nw_i, nw_r, nw_b, dw_i, dw_r, dw_b,
-        do_w, do_b, vo_w, vo_b,
-        # initial carries (index i)
-        mem0, synth0, cmem0, hv0, hn0, hd0, lastg0, per0, pgain0,
-        # per-frame xs (index i, t): filtered frame, lag-0 spectrum,
-        # packed small fields
-        filt_ref, x_ref, sm_ref,
-        # outputs: packed stream (index i, t) then resident carries (index i)
-        out_ref,
-        memF, synthF, cmemF, hvF, hnF, hdF, lastgF, perF, pgainF,
-    ):
+    def kernel(*refs):
+        it = iter(refs)
+        tab_ref = next(it)
+        if mxu3:
+            F_hi, F_lo, IV1_hi, IV1_lo, IV2_hi, IV2_lo = (
+                next(it) for _ in range(6)
+            )
+            mm_F = lambda xhl: _mm3(xhl, F_hi, F_lo)
+            mm_IV1 = lambda xhl: _mm3(xhl, IV1_hi, IV1_lo)
+            mm_IV2 = lambda xhl: _mm3(xhl, IV2_hi, IV2_lo)
+            prep = _split3
+        else:
+            F_ref, IV1_ref, IV2_ref = (next(it) for _ in range(3))
+            mm_F = lambda x: _mm(x, F_ref[:, :])
+            mm_IV1 = lambda x: _mm(x, IV1_ref[:, :])
+            mm_IV2 = lambda x: _mm(x, IV2_ref[:, :])
+            prep = lambda x: x
+        CORR2_ref, INTERP2_ref, DCT_ref = (next(it) for _ in range(3))
+        (
+            id_w, id_b, vw_i, vw_r, vw_b, nw_i, nw_r, nw_b,
+            dw_i, dw_r, dw_b, do_w, do_b, vo_w, vo_b,
+        ) = (next(it) for _ in range(15))
+        (mem0, synth0, cmem0, hv0, hn0, hd0, lastg0, per0, pgain0) = (
+            next(it) for _ in range(9)
+        )
+        filt_ref, cand_ref = next(it), next(it)
+        out_ref = next(it)
+        (memF, synthF, cmemF, hvF, hnF, hdF, lastgF, perF, pgainF) = (
+            next(it) for _ in range(9)
+        )
+
         t = pl.program_id(1)
 
         @pl.when(t == 0)
@@ -396,17 +463,54 @@ def _make_frame_kernel(acts: tuple, skip: tuple = (), fps: int = 1):
 
         def one_frame(fi):
             filt = filt_ref[fi, :, :]  # (bk, 480)
-            x = x_ref[fi, :, :]  # (bk, 962) [re|im]
-            ex = sm_ref[fi, :, _SM_EX : _SM_EX + nb]  # (bk, 22)
-            ceps = sm_ref[fi, :, _SM_CEPS : _SM_CEPS + nb]  # (bk, 22)
-            cand = sm_ref[fi, :, _SM_CAND : _SM_CAND + 105]  # (bk, 105)
-            sil = sm_ref[fi, :, _SM_SIL : _SM_SIL + 1] > _F32(0.5)  # (bk, 1)
-            self_frame(filt, x, ex, ceps, sil, cand, fi)
+            cand = cand_ref[fi, :, :]  # (bk, 105)
+            self_frame(filt, cand, fi)
 
-        def self_frame(filt, x, ex, ceps, sil, cand, fi):
+        def self_frame(filt, cand, fi):
             # ---- input history shift (features.rs:97-104) ----------------
             mem = jnp.concatenate([memF[:, FRAME_SIZE:], filt], axis=1)
             memF[:, :] = mem
+
+            def bands(v):  # packed (bk, 962) -> (bk, 22)
+                return _mm(v, CORR2_ref[:, :])
+
+            def dct(v):  # (bk, 22) -> (bk, 22)
+                return _mm(v, DCT_ref[:, :]) * np.float32(DCT_SCALE)
+
+            # ---- lag-0 analysis: windowed DFT -> band energies -> floored
+            #      log spectrum -> cepstrum -> silence gate
+            #      (features.rs:119-125, 147-169) ---------------------------
+            if 'lag0' in skip:
+                x = jnp.concatenate([filt, filt, filt[:, :2]], axis=1)
+                ex = bands(x * x)
+                ceps = ex
+                sil = ex[:, :1] < _F32(0.0)
+            else:
+                x = mm_F(prep(mem[:, PITCH_BUF_SIZE - WINDOW_SIZE :]))
+                ex = bands(x * x)
+                # floor/follow chain, sequential over the 22 bands
+                # (pipeline.log_spectrum semantics, features.rs:147-158)
+                raw = jnp.log10(_F32(1e-2) + ex)
+                log_max = jnp.full_like(raw[:, :1], _F32(-2.0))
+                follow = jnp.full_like(raw[:, :1], _F32(-2.0))
+                cols = []
+                for i in range(nb):
+                    v = jnp.maximum(
+                        jnp.maximum(raw[:, i : i + 1], log_max - _F32(7.0)),
+                        follow - _F32(1.5),
+                    )
+                    log_max = jnp.maximum(log_max, v)
+                    follow = jnp.maximum(follow - _F32(1.5), v)
+                    cols.append(v)
+                ly = jnp.concatenate(cols, axis=1)
+                sil = jnp.sum(ex, axis=1, keepdims=True) < _F32(0.04)
+                lanes22 = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+                ceps_off = jnp.where(
+                    lanes22 == 0,
+                    _F32(-12.0),
+                    jnp.where(lanes22 == 1, _F32(-4.0), _F32(0.0)),
+                )
+                ceps = dct(ly) + ceps_off
 
             # ---- octave removal (carry-coupled half, pitch.rs:118-221) -------
             if 'rd' in skip:
@@ -420,6 +524,8 @@ def _make_frame_kernel(acts: tuple, skip: tuple = (), fps: int = 1):
                 )
             perF[:, :] = period
             pgainF[:, :] = pgain
+            out_ref[fi, :, _OFF_PERIOD : _OFF_PERIOD + 1] = period.astype(_F32)
+            out_ref[fi, :, _OFF_PGAIN : _OFF_PGAIN + 1] = pgain
 
             # ---- pitch-lag window (barrel shift) + forward DFT ---------------
             if 'dft' in skip:
@@ -430,16 +536,10 @@ def _make_frame_kernel(acts: tuple, skip: tuple = (), fps: int = 1):
                     rolled = pltpu.roll(w, 1 << b, axis=1)
                     w = jnp.where(((period >> b) & 1) == 1, rolled, w)
                 w960 = w[:, PITCH_BUF_SIZE - WINDOW_SIZE :]
-                p = _mm(w960, F_ref[:, :])  # (bk, 962)
-
-            def bands(v):  # packed (bk, 962) -> (bk, 22)
-                return _mm(v, CORR2_ref[:, :])
+                p = mm_F(prep(w960))  # (bk, 962)
 
             def interp(v):  # (bk, 22) -> packed-broadcast (bk, 962)
                 return _mm(v, INTERP2_ref[:, :])
-
-            def dct(v):  # (bk, 22) -> (bk, 22)
-                return _mm(v, DCT_ref[:, :]) * np.float32(DCT_SCALE)
 
             ep = bands(p * p)
             exp = bands(x * p) / jnp.sqrt(_F32(0.001) + ex * ep)
@@ -551,8 +651,9 @@ def _make_frame_kernel(acts: tuple, skip: tuple = (), fps: int = 1):
             if 'inv' in skip:
                 out_ref[fi, :, :FRAME_SIZE] = x_final[:, :FRAME_SIZE] + synthF[:, :]
             else:
-                head = _mm(x_final, IV1_ref[:, :])  # (bk, 480)
-                tail = _mm(x_final, IV2_ref[:, :])  # (bk, 480)
+                xf = prep(x_final)
+                head = mm_IV1(xf)  # (bk, 480)
+                tail = mm_IV2(xf)  # (bk, 480)
                 out_ref[fi, :, :FRAME_SIZE] = head + synthF[:, :]
                 synthF[:, :] = tail
 
@@ -564,28 +665,28 @@ def _make_frame_kernel(acts: tuple, skip: tuple = (), fps: int = 1):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("acts", "block", "interpret", "skip", "fps")
+    jax.jit,
+    static_argnames=("acts", "block", "interpret", "skip", "fps", "mxu3"),
 )
 def frame_loop_pallas(
     weights: tuple,
     carry_arrays: tuple,
     filt: jnp.ndarray,
-    x: jnp.ndarray,
-    smalls: jnp.ndarray,
+    cand: jnp.ndarray,
     acts: tuple,
     block: int = _BLOCK,
     interpret: bool = False,
     skip: tuple = (),
     fps: int = 1,
+    mxu3: bool = True,
 ):
     """Run the full frame loop. See _scan_batch for the dispatch wrapper.
 
     carry_arrays: (mem (B,1728), synth (B,480), cmem (B,176), hv, hn, hd,
                    lastg (B,22), period (B,1) i32, pgain (B,1))
-    filt/x/smalls: TIME-MAJOR (T, B, 480/962/_SM_LANES) per-frame
-                  precompute streams (filtered frames and spectra exactly
-                  as the precompute produced them; narrow fields packed on
-                  one small block, offsets _SM_*).
+    filt/cand: TIME-MAJOR (T, B, 480/105) per-frame precompute streams —
+               the HP-filtered frames and the octave-removal candidate
+               tables; everything else is derived in-kernel.
     Returns (packed_out (T, B, _OUT_LANES): frame + vad, new_carry_arrays).
     """
     t, b, _ = filt.shape
@@ -593,14 +694,17 @@ def frame_loop_pallas(
     assert t % fps == 0, (t, fps)
     grid = (b // block, t // fps)
 
-    fwd, iv1, iv2 = _dft_consts()
     corr2, interp2, dctm = _band_consts()
     tab_np = np.zeros((1, 256), np.float32)
     tab_np[0, : TANSIG_TABLE.shape[0]] = TANSIG_TABLE
     tab = jnp.asarray(tab_np)
 
-    const_in = (
-        jnp.asarray(fwd), jnp.asarray(iv1), jnp.asarray(iv2),
+    if mxu3:
+        (f_hi, f_lo), (iv1_hi, iv1_lo), (iv2_hi, iv2_lo) = _dft_consts_split()
+        dft_in = (f_hi, f_lo, iv1_hi, iv1_lo, iv2_hi, iv2_lo)
+    else:
+        dft_in = _dft_consts()
+    const_in = tuple(jnp.asarray(m) for m in dft_in) + (
         jnp.asarray(corr2), jnp.asarray(interp2), jnp.asarray(dctm),
     )
 
@@ -627,7 +731,7 @@ def frame_loop_pallas(
         + [cspec(a) for a in const_in]
         + [cspec(w) for w in weights]
         + [carry_spec(a) for a in carry_arrays]
-        + [xs_spec(filt), xs_spec(x), xs_spec(smalls)]
+        + [xs_spec(filt), xs_spec(cand)]
     )
     out_shape = (
         jax.ShapeDtypeStruct((t, b, _OUT_LANES), jnp.float32),  # frame+vad
@@ -637,37 +741,60 @@ def frame_loop_pallas(
     )
 
     outs = pl.pallas_call(
-        _make_frame_kernel(acts, skip, fps),
+        _make_frame_kernel(acts, skip, fps, mxu3),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        # ~19 MB live per program (7.4 MB DFT bases + carries + streamed
-        # frame slices + temporaries) — above the 16 MB default scoped
-        # limit but far under the chip's physical VMEM.
+        # ~19 MB live per program (DFT bases + carries + streamed frame
+        # slices + temporaries) — above the 16 MB default scoped limit but
+        # far under the chip's physical VMEM.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(tab, *const_in, *weights, *carry_arrays, filt, x, smalls)
+    )(tab, *const_in, *weights, *carry_arrays, filt, cand)
     return outs[0], outs[1:]
 
 
 def fused_scan_available(meta, batch: int, block: int = _BLOCK) -> bool:
+    """The fused kernel serves EVERY batch size (the stream axis is padded
+    to a block multiple with zeroed silent streams, run_fused_scan); only a
+    non-standard model topology falls back to the XLA scan path."""
     from .rnn_pallas import standard_topology
 
-    return standard_topology(meta) and batch % block == 0
+    del batch, block
+    return standard_topology(meta)
+
+
+def _pad_batch(arr, bp: int, axis: int):
+    b = arr.shape[axis]
+    if b == bp:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, bp - b)
+    return jnp.pad(arr, widths)
 
 
 def run_fused_scan(params, meta, carry, pre, interpret: bool = False,
                    block: int = _BLOCK, skip: tuple = (),
-                   fps: int | None = None):
+                   fps: int | None = None, return_trace: bool = False):
     """Adapter: DenoiseCarry + FramePre (B, T, ...) -> same pytree outputs
-    as the lax.scan path (carry', out (B,T,480), vad (B,T))."""
+    as the lax.scan path (carry', out (B,T,480), vad (B,T)); with
+    ``return_trace`` a 4th element (periods (B,T) i32, gains (B,T)) — the
+    kernel's per-frame pitch decisions, used by the TPU flip-count lane.
+
+    Batches that are not a multiple of ``block`` are padded with zeroed
+    streams (a zero carry + zero frames is a valid silent stream — the
+    reference's own initial state); the pad rows are sliced away from every
+    output, so the production kernel serves ALL batch sizes (the reference
+    has one engine for every caller, src/denoise.rs:95).
+    """
     from .rnn_pallas import meta_acts
     from ..pipeline import DenoiseCarry, FeatureState
 
     t, b = pre.filtered.shape[0], pre.filtered.shape[1]
+    bp = -(-b // block) * block
     feat = carry.feat
     carry_arrays = (
         feat.input_mem,
@@ -680,16 +807,9 @@ def run_fused_scan(params, meta, carry, pre, interpret: bool = False,
         feat.pitch_period.reshape(b, 1).astype(jnp.int32),
         feat.pitch_gain.reshape(b, 1),
     )
-    smalls = jnp.concatenate(  # time-major (T, B, _SM_LANES), see layout
-        [
-            pre.ex,
-            pre.ceps,
-            pre.cand,
-            pre.silence.astype(jnp.float32).reshape(t, b, 1),
-            jnp.zeros((t, b, _SM_LANES - _SM_SIL - 1), jnp.float32),
-        ],
-        axis=-1,
-    )
+    carry_arrays = tuple(_pad_batch(a, bp, 0) for a in carry_arrays)
+    filt = _pad_batch(pre.filtered, bp, 1)
+    cand = _pad_batch(pre.cand, bp, 1)
     if fps is None:  # largest frames-per-step that divides the chunk
         import os
 
@@ -697,10 +817,13 @@ def run_fused_scan(params, meta, carry, pre, interpret: bool = False,
         fps = next(f for f in (want, 4, 2, 1) if f <= want and t % f == 0)
     weights = _flatten_params(params)
     packed_out, cf = frame_loop_pallas(
-        weights, carry_arrays, pre.filtered, pre.x, smalls,
+        weights, carry_arrays, filt, cand,
         meta_acts(meta), block=block,
         interpret=interpret, skip=skip, fps=fps,
+        mxu3=not interpret,
     )
+    packed_out = packed_out[:, :b]
+    cf = tuple(a[:b] for a in cf)
     out = jnp.swapaxes(packed_out[:, :, :FRAME_SIZE], 0, 1)  # (B, T, 480)
     vad = jnp.swapaxes(packed_out[:, :, _OFF_VAD : _OFF_VAD + 1], 0, 1)
     mem, synth, cmem, hv, hn, hd, lastg, per, pg = cf
@@ -718,4 +841,10 @@ def run_fused_scan(params, meta, carry, pre, interpret: bool = False,
         rnn=RnnState(hv, hn, hd),
         lastg=lastg,
     )
+    if return_trace:
+        periods = jnp.swapaxes(
+            packed_out[:, :, _OFF_PERIOD], 0, 1
+        ).astype(jnp.int32)
+        pgains = jnp.swapaxes(packed_out[:, :, _OFF_PGAIN], 0, 1)
+        return new_carry, out, vad.reshape(b, t), (periods, pgains)
     return new_carry, out, vad.reshape(b, t)

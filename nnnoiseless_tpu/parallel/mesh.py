@@ -63,15 +63,66 @@ def _sharded_chunk_one(params, meta: ModelMeta, carry, frames):
     return _scan_batch(params, meta, carry, frames)
 
 
-def _sharded_chunk(params, meta: ModelMeta, carry, frames):
+@functools.partial(jax.jit, static_argnums=(1, 4, 5, 6), donate_argnums=(3,))
+def _fused_shardmap_jit(
+    params, meta: ModelMeta, carry, pre, mesh: Mesh, axis_name: str,
+    interpret: bool,
+):
+    """The fused frame-loop kernel under ``shard_map`` over the dp axis.
+
+    Pallas/Mosaic kernels are not auto-partitionable under GSPMD, so on a
+    multi-device mesh the ``pallas_call`` must run per shard: each device
+    executes the kernel on its local slice of the stream batch (streams
+    never couple — zero collectives).  FramePre fields are TIME-major
+    (T, B, ...), hence the P(None, dp) specs."""
+    from ..ops.frame_kernel import run_fused_scan
+
+    def local(p, c, pr):
+        return run_fused_scan(p, meta, c, pr, interpret=interpret)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(None, axis_name)),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        check_vma=False,
+    )(params, carry, pre)
+
+
+def _two_phase_sharded(
+    params, meta: ModelMeta, carry, frames, mesh: Mesh, axis_name: str = "dp"
+):
+    """Two-phase engine on a multi-device mesh: the dense precompute is
+    GSPMD-sharded from its operand placements; the fused kernel runs per
+    shard via shard_map (see _fused_shardmap_jit)."""
+    from ..denoise import _precompute_jit
+
+    pre, hp_out = _precompute_jit(
+        carry.feat.input_mem, carry.feat.hp_mem, frames, False
+    )
+    interpret = jax.default_backend() == "cpu"
+    carry2, out, vad = _fused_shardmap_jit(
+        params, meta, carry, pre, mesh, axis_name, interpret
+    )
+    carry2 = carry2._replace(feat=carry2.feat._replace(hp_mem=hp_out))
+    return carry2, out, vad
+
+
+def _sharded_chunk(
+    params, meta: ModelMeta, carry, frames,
+    mesh: Optional[Mesh] = None, axis_name: str = "dp",
+):
     """Identical math to denoise._process_chunk_batch; sharding comes from
     the operand placements (GSPMD propagates the batch sharding through the
     scan), so the same programs serve any mesh.  On TPU this dispatches the
     two-phase path (precompute program + fused-kernel program — compiling
-    them together degrades both, see denoise._two_phase_chunk)."""
+    them together degrades both, see denoise._two_phase_chunk); on a
+    multi-device mesh the kernel phase rides shard_map."""
     from ..denoise import _two_phase_chunk, two_phase_available
 
     if two_phase_available(meta, frames):
+        if mesh is not None and mesh.devices.size > 1:
+            return _two_phase_sharded(params, meta, carry, frames, mesh, axis_name)
         return _two_phase_chunk(params, meta, carry, frames)
     return _sharded_chunk_one(params, meta, carry, frames)
 
@@ -95,4 +146,6 @@ def sharded_process_frames(
         )
     sharding = NamedSharding(mesh, P(axis_name))
     frames = jax.device_put(frames, sharding)
-    return _sharded_chunk(model.params, model.meta, carry, frames)
+    return _sharded_chunk(
+        model.params, model.meta, carry, frames, mesh=mesh, axis_name=axis_name
+    )

@@ -325,21 +325,18 @@ class FramePre(NamedTuple):
     #                    (ops/pitch.py::doubling_candidates layout)
 
 
-def frame_step_hoisted(
-    params: dict, meta: ModelMeta, carry: DenoiseCarry, pre: FramePre
-) -> tuple[DenoiseCarry, jnp.ndarray, jnp.ndarray]:
-    """The lean scan body: only the truly sequential work.
-
-    Everything frame-local arrives precomputed in ``pre`` (chunk.py); this
-    body performs just the carry-dependent remainder — octave-removal
-    selection (continuity bonus from the previous frame), the analysis
-    transform at the chosen pitch lag, the cepstral shift register, the
-    RNN, and gain application + synthesis.  ``hp_mem`` is unused here (the
-    chunk filter owns it); the caller patches the final value.
-    """
+def analyze_frame_hoisted(
+    state: FeatureState, pre: FramePre
+) -> tuple[FeatureState, Analysis]:
+    """The analysis half of the lean scan body: only the carry-dependent
+    remainder — octave-removal selection (continuity bonus from the
+    previous frame), the analysis transform at the chosen pitch lag, the
+    cepstral shift register.  ``hp_mem`` is unused here (the chunk filter
+    owns it); the caller patches the final value.  Used by the denoise
+    scan (frame_step_hoisted) and by the training-data generator's batched
+    feature dump (training/data.py)."""
     from .ops.pitch import remove_doubling_from_candidates
 
-    state = carry.feat
     input_mem = jnp.concatenate([state.input_mem[FRAME_SIZE:], pre.filtered])
     period, pgain = remove_doubling_from_candidates(
         pre.cand, state.pitch_period, state.pitch_gain
@@ -347,7 +344,7 @@ def frame_step_hoisted(
     p = forward_transform(window_at_lag(input_mem, period))  # (2, 481)
     ep = band_energies(p)
     x = pre.x.reshape(pre.x.shape[:-1] + (2, pre.x.shape[-1] // 2))
-    feat_state, an = _finish_analysis(
+    return _finish_analysis(
         state,
         input_mem,
         state.hp_mem,
@@ -360,6 +357,18 @@ def frame_step_hoisted(
         period,
         pgain,
     )
+
+
+def frame_step_hoisted(
+    params: dict, meta: ModelMeta, carry: DenoiseCarry, pre: FramePre
+) -> tuple[DenoiseCarry, jnp.ndarray, jnp.ndarray]:
+    """The lean scan body: only the truly sequential work.
+
+    Everything frame-local arrives precomputed in ``pre`` (chunk.py); this
+    body performs just the carry-dependent remainder (analyze_frame_hoisted)
+    plus the RNN and gain application + synthesis.
+    """
+    feat_state, an = analyze_frame_hoisted(carry.feat, pre)
     return _denoise_tail(params, meta, carry, feat_state, an)
 
 

@@ -73,10 +73,11 @@ class DenoiseSignal:
 
     from_model = with_model
 
-    def _next_input_frames(self, max_frames: int) -> Optional[np.ndarray]:
-        """Pull up to ``max_frames`` whole frames -> (channels, m, 480) in
-        i16 range (the last frame zero-padded at source exhaustion), or
-        None when the source is already empty."""
+    def _next_input_frames(self, max_frames: int) -> tuple[Optional[np.ndarray], int]:
+        """Pull up to ``max_frames`` whole frames -> ((channels, m, 480) in
+        i16 range, n_real_samples); the last frame is zero-padded at source
+        exhaustion but only ``n_real_samples`` of the pulled samples are
+        real.  Returns (None, 0) when the source is already empty."""
         buf = np.zeros((self._channels, max_frames * FRAME_SIZE), np.float32)
         n = 0
         while n < max_frames * FRAME_SIZE:
@@ -94,13 +95,19 @@ class DenoiseSignal:
                 buf[:, n] = np.asarray(s, np.float32) * 32768.0
             n += 1
         if n == 0:
-            return None
+            return None, 0
         m = -(-n // FRAME_SIZE)  # frames, zero-padded tail
-        return buf[:, : m * FRAME_SIZE].reshape(self._channels, m, FRAME_SIZE)
+        return buf[:, : m * FRAME_SIZE].reshape(self._channels, m, FRAME_SIZE), n
 
     def __iter__(self) -> Iterator[Sample]:
+        """Yields exactly one output sample per input sample consumed,
+        minus the discarded fade-in frame (signal.rs:83-87): a partial
+        final frame is zero-padded for the DSP but the pad samples are
+        never emitted (the reference adapter, an infinite dasp::Signal,
+        likewise never hands real callers synthesized pad output —
+        signal.rs:116-137)."""
         while True:
-            frames = self._next_input_frames(self._latency)
+            frames, n_real = self._next_input_frames(self._latency)
             if frames is None:
                 return
             out, _vad = self._batch.process(frames)  # (C, m, 480)
@@ -108,9 +115,10 @@ class DenoiseSignal:
             if not self._dropped_first:
                 self._dropped_first = True
                 start = 1  # fade-in frame (signal.rs:83-87)
+                n_real -= min(n_real, FRAME_SIZE)
                 if frames.shape[1] == 1:
                     continue
             flat = out[:, start:, :].reshape(self._channels, -1)
             flat = np.clip(flat / 32768.0, -1.0, 1.0)
-            for i in range(flat.shape[1]):
+            for i in range(min(flat.shape[1], n_real)):
                 yield float(flat[0, i]) if self._scalar else tuple(flat[:, i])

@@ -37,7 +37,7 @@ from ..constants import (
     NB_BANDS,
     NB_FEATURES,
 )
-from ..pipeline import FeatureState, analyze_frame, init_feature_state
+from ..pipeline import FeatureState, init_feature_state
 
 GAIN_CHANGE_COUNT = 2821  # frames between re-randomizations (training.rs:17)
 
@@ -256,17 +256,27 @@ class NoiseSimulator:
 
 @jax.jit
 def _feature_chunk(states: FeatureState, frames: jnp.ndarray):
-    """states batched over 3 pipelines; frames (3, T, 480).
+    """Batched hoisted analysis: states over B pipelines, frames (B, T, 480).
 
-    Returns (states', features (3,T,42), ex (3,T,22), silence (3,T))."""
+    The same two-phase shape as the inference engine (chunk.py): all
+    frame-local work — HP filter, lag-0 spectra/energies/cepstra, the
+    pitch search — runs as large batched ops up front, and a lean scan
+    performs only the carry-coupled remainder.  This is what makes the
+    generator's device side fast enough for corpus-scale dumps (the
+    reference's generator is a native binary, src/training.rs).
 
-    def step(s, f):  # f: (3, 480)
-        s2, an = jax.vmap(analyze_frame)(s, f)
+    Returns (states', features (B,T,42), ex (B,T,22), silence (B,T))."""
+    from ..chunk import precompute_chunk
+    from ..pipeline import analyze_frame_hoisted
+
+    pre, hp_out = precompute_chunk(states.input_mem, states.hp_mem, frames)
+
+    def step(s, pre_t):  # pre_t: FramePre slices with leading (B,)
+        s2, an = jax.vmap(analyze_frame_hoisted)(s, pre_t)
         return s2, (an.features, an.ex, an.silence)
 
-    states, (feats, ex, sil) = jax.lax.scan(
-        step, states, jnp.swapaxes(frames, 0, 1)
-    )
+    states, (feats, ex, sil) = jax.lax.scan(step, states, pre)
+    states = states._replace(hp_mem=hp_out)
     return (
         states,
         jnp.swapaxes(feats, 0, 1),
@@ -282,54 +292,78 @@ def generate(
     seed: int = 0,
     chunk: int = 512,
     progress=None,
+    workers: int = 1,
 ) -> np.ndarray:
-    """Generate `count` rows of the 87-column training matrix."""
-    rng = np.random.RandomState(seed)
-    sim = NoiseSimulator(
-        SignalReader(signal_paths, count, rng),
-        SignalReader(noise_paths, count, rng),
-        rng,
-    )
+    """Generate `count` rows of the 87-column training matrix.
+
+    ``workers`` > 1 runs that many independent generator worlds in
+    lockstep — each with its own readers (world-shuffled file order),
+    simulator and RNG — so the device sees a batch of 3*workers feature
+    pipelines per dispatch instead of 3.  Each world's rows land in one
+    CONTIGUOUS region of the output, preserving the frame continuity the
+    trainer's 2000-frame sequence windows rely on (the reference generator
+    is one continuous stream, src/training.rs:120-161; W worlds are W
+    continuous streams).
+    """
+    w = max(1, int(workers))
+    per = -(-count // w)  # rows per world; the tail of the LAST world is cut
+    sims = []
+    for i in range(w):
+        rng = np.random.RandomState(seed + 7919 * i)
+        sp, np_ = list(signal_paths), list(noise_paths)
+        if i > 0:
+            rng.shuffle(sp)
+            rng.shuffle(np_)
+        sims.append(
+            NoiseSimulator(
+                SignalReader(sp, per, rng), SignalReader(np_, per, rng), rng
+            )
+        )
     states = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x, (3,) + x.shape), init_feature_state()
+        lambda x: jnp.broadcast_to(x, (3 * w,) + x.shape), init_feature_state()
     )
     width = NB_FEATURES + 2 * NB_BANDS + 1
-    out = np.empty((count, width), np.float32)
+    out = np.empty((w * per, width), np.float32)
 
     done = 0
-    while done < count:
-        n = min(chunk, count - done)
-        frames = np.empty((3, n, FRAME_SIZE), np.float32)
-        cutoffs = np.empty(n, np.int32)
-        vads = np.empty(n, np.float32)
-        for t in range(n):
-            sig, noise, comb, cutoff, vad = sim.next_frame()
-            frames[0, t] = sig
-            frames[1, t] = noise
-            frames[2, t] = comb
-            cutoffs[t] = cutoff
-            vads[t] = vad
-        states, feats, ex, sil = _feature_chunk(states, jnp.asarray(frames))
-        feats = np.asarray(feats)
-        ex = np.asarray(ex)
-        sil = np.asarray(sil)
+    band = np.arange(NB_BANDS)[None, :]
+    while done < per:
+        n = min(chunk, per - done)
+        # stream layout: [w0-clean, w0-noise, w0-comb, w1-clean, ...]
+        frames = np.empty((w, 3, n, FRAME_SIZE), np.float32)
+        cutoffs = np.empty((w, n), np.int32)
+        vads = np.empty((w, n), np.float32)
+        for i, sim in enumerate(sims):
+            for t in range(n):
+                sig, noise, comb, cutoff, vad = sim.next_frame()
+                frames[i, 0, t] = sig
+                frames[i, 1, t] = noise
+                frames[i, 2, t] = comb
+                cutoffs[i, t] = cutoff
+                vads[i, t] = vad
+        states, feats, ex, sil = _feature_chunk(
+            states, jnp.asarray(frames.reshape(3 * w, n, FRAME_SIZE))
+        )
+        feats = np.asarray(feats).reshape(w, 3, n, NB_FEATURES)
+        ex = np.asarray(ex).reshape(w, 3, n, NB_BANDS)
+        sil = np.asarray(sil).reshape(w, 3, n)
 
-        clean_ex, noise_ex, comb_ex = ex[0], ex[1], ex[2]
-        band = np.arange(NB_BANDS)[None, :]
-        cut = np.where(sil[2], 0, cutoffs)[:, None]  # silence -> all sentinel
+        clean_ex, noise_ex, comb_ex = ex[:, 0], ex[:, 1], ex[:, 2]
+        cut = np.where(sil[:, 2], 0, cutoffs)[..., None]  # silence -> sentinel
         g = np.sqrt((clean_ex + 1e-3) / (comb_ex + 1e-3)).clip(max=1.0)
         g = np.where((clean_ex < 5e-2) & (comb_ex < 5e-2), -1.0, g)
-        g = np.where(band < cut, g, -1.0)
+        g = np.where(band[None] < cut, g, -1.0)
         noise_level = np.log10(noise_ex + 1e-2)
 
         rows = np.concatenate(
-            [feats[2], g, noise_level, vads[:, None]], axis=1
+            [feats[:, 2], g, noise_level, vads[..., None]], axis=2
         ).astype(np.float32)
-        out[done : done + n] = rows
+        for i in range(w):
+            out[i * per + done : i * per + done + n] = rows[i]
         done += n
         if progress:
-            progress(done)
-    return out
+            progress(done * w)
+    return out[:count]
 
 
 def main(argv=None):
@@ -340,6 +374,10 @@ def main(argv=None):
     ap.add_argument("--shuffle", action="store_true")
     ap.add_argument("-o", "--output", required=True)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--workers", type=int, default=1,
+        help="parallel generator worlds (device batch = 3*workers)",
+    )
     args = ap.parse_args(argv)
 
     signal_paths = sorted(p for g in args.signal_glob for p in globlib.glob(g))
@@ -355,6 +393,7 @@ def main(argv=None):
         noise_paths,
         args.count,
         seed=args.seed,
+        workers=args.workers,
         progress=lambda n: print(f"{n}\r", end="", flush=True),
     )
 

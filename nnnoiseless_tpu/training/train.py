@@ -169,7 +169,14 @@ def latest_checkpoint(path):
 
 def restore_checkpoint(path, template: TrainState) -> TrainState:
     """Restore from a checkpoint dir: either one ``step_<n>`` directory or a
-    parent produced by :func:`save_checkpoint` (newest step wins)."""
+    parent produced by :func:`save_checkpoint` (newest step wins).
+
+    The optimizer-state pytree structure is part of the checkpoint
+    contract: a checkpoint can only resume under the SAME optimizer
+    configuration it was saved with (constant-lr ``inject_hyperparams``
+    adam vs a schedule-driven adam have different ``opt_state`` trees).
+    A mismatch raises a clear error instead of mis-restoring.
+    """
     import pathlib
 
     import orbax.checkpoint as ocp
@@ -181,7 +188,23 @@ def restore_checkpoint(path, template: TrainState) -> TrainState:
             raise FileNotFoundError(f"no step_* checkpoints under {p}")
         p = newest
     with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(p, jax.device_get(template))
+        try:
+            restored = ckptr.restore(p, jax.device_get(template))
+        except Exception as e:
+            raise ValueError(
+                f"checkpoint {p} does not match the current training "
+                f"configuration (optimizer/lr-schedule choice changes the "
+                f"opt_state structure; resume with the settings the "
+                f"checkpoint was written under): {e}"
+            ) from e
+    want = jax.tree_util.tree_structure(template)
+    got = jax.tree_util.tree_structure(restored)
+    if want != got:
+        raise ValueError(
+            f"checkpoint {p} has a different training-state structure than "
+            f"the current optimizer configuration (saved {got}, expected "
+            f"{want}); resume with the original optimizer/lr-schedule"
+        )
     return jax.tree_util.tree_map(jnp.asarray, restored)
 
 

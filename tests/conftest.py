@@ -84,3 +84,9 @@ def assert_waveform_close(got, want, cpu_atol):
         rel = np.sum(d**2) / ref_e
         assert rel < 1e-3, f"rel squared error {rel}"
     assert d.max() <= 64.0, f"max |delta| {d.max()}"
+    # A broad noise-floor regression must still fire even when short-clip
+    # energy stays bounded: only a small fraction of samples may deviate
+    # beyond a near-tie-flip-scale threshold (a single ±1-lag flip
+    # re-colors some voiced samples, not the whole clip).
+    frac = float(np.mean(d > 16.0))
+    assert frac <= 0.05, f"{frac:.1%} of samples deviate by > 16 i16 units"

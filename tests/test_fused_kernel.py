@@ -53,6 +53,40 @@ def test_output_matches(paths):
     )
 
 
+def test_padded_batch_matches(testing_raw, default_model):
+    """Batches that don't divide the kernel block are padded with zeroed
+    silent streams and sliced back — every batch size rides the fused
+    kernel (the reference has ONE engine for all callers, denoise.rs:95)."""
+    from conftest import assert_waveform_close
+
+    model = default_model
+    b, t = 3, 4  # 3 % block(4) != 0 -> one pad stream
+    frames = jnp.asarray(
+        np.stack(
+            [
+                testing_raw[i * FRAME_SIZE * t : (i + 1) * FRAME_SIZE * t].reshape(
+                    t, FRAME_SIZE
+                )
+                for i in range(b)
+            ]
+        )
+    )
+    carry = init_batch_carry(model.meta, b)
+    c_ref, out_ref, vad_ref = _scan_batch(model.params, model.meta, carry, frames)
+    pre, _hp = precompute_chunk(
+        carry.feat.input_mem, carry.feat.hp_mem, frames, lag0=False
+    )
+    c_k, out_k, vad_k = run_fused_scan(
+        model.params, model.meta, carry, pre, interpret=True, block=4
+    )
+    assert out_k.shape == (b, t, FRAME_SIZE) and vad_k.shape == (b, t)
+    assert c_k.feat.input_mem.shape[0] == b
+    assert_waveform_close(out_k, out_ref, cpu_atol=0.01)
+    np.testing.assert_array_equal(
+        np.asarray(c_k.feat.pitch_period), np.asarray(c_ref.feat.pitch_period)
+    )
+
+
 def test_carries_match(paths):
     from conftest import on_cpu_platform
 

@@ -63,6 +63,35 @@ def test_sharded_carry_roundtrip(default_model):
     np.testing.assert_allclose(two_chunk, np.asarray(out_full), atol=1.0)
 
 
+def test_shardmap_fused_kernel_matches(testing_raw, default_model):
+    """The production multi-device path runs the fused Pallas kernel under
+    shard_map (Mosaic kernels are not GSPMD-auto-partitionable); validated
+    here with the interpret-mode kernel on the 8-device CPU mesh against
+    the unsharded scan engine."""
+    from nnnoiseless_tpu.parallel.mesh import _two_phase_sharded
+
+    b, t = 8, 4
+    frames = np.stack(
+        [
+            testing_raw[i * FRAME_SIZE * t : (i + 1) * FRAME_SIZE * t]
+            .reshape(t, FRAME_SIZE)
+            for i in range(b)
+        ]
+    )
+    mesh = make_mesh(jax.devices()[:8])
+    carry = shard_batch(init_batch_carry(default_model.meta, b), mesh)
+    c2, out_s, vad_s = _two_phase_sharded(
+        default_model.params, default_model.meta, carry,
+        shard_batch(jax.numpy.asarray(frames), mesh), mesh,
+    )
+
+    c1 = init_batch_carry(default_model.meta, b)
+    _, out_u, vad_u = process_frames(default_model, c1, frames)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_u), atol=0.05)
+    np.testing.assert_allclose(np.asarray(vad_s), np.asarray(vad_u), atol=1e-4)
+    assert len(out_s.sharding.device_set) == 8
+
+
 def test_indivisible_batch_raises(default_model):
     mesh = make_mesh(jax.devices()[:8])
     frames = np.zeros((6, 2, FRAME_SIZE), np.float32)  # 6 % 8 != 0

@@ -80,11 +80,15 @@ def test_latency_one_matches_chunked(testing_raw, default_model):
     np.testing.assert_allclose(a, b, atol=1e-4)
 
 
-def test_short_source_zero_pads():
-    """A source shorter than two frames still yields one (padded) frame."""
+def test_partial_tail_exact_length():
+    """Output length == input length minus the discarded fade-in frame:
+    the zero-padded tail of a partial final frame is never emitted."""
     out = list(DenoiseSignal([0.0] * (FRAME_SIZE + 10)))
-    assert len(out) == FRAME_SIZE  # frame 0 dropped, frame 1 (padded) kept
+    assert len(out) == 10  # frame 0 dropped; only the 10 real tail samples
     np.testing.assert_allclose(out, 0.0, atol=1e-4)
+
+    out2 = list(DenoiseSignal([0.0] * (3 * FRAME_SIZE + 7)))
+    assert len(out2) == 2 * FRAME_SIZE + 7
 
 
 def test_empty_source():

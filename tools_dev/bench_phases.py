@@ -31,8 +31,8 @@ def bench(name, fn, *args, n=3):
     return out
 
 carry = init_batch_carry(model.meta, B)
-pre, hp = bench("precompute", lambda: _precompute_jit(
-    carry.feat.input_mem, carry.feat.hp_mem, frames))
+pre, hp = bench("precompute (lag0=False)", lambda: _precompute_jit(
+    carry.feat.input_mem, carry.feat.hp_mem, frames, False))
 
 # kernel-only: fresh (carry, pre) copies each call since _fused_jit donates
 def kern():

@@ -75,6 +75,8 @@ timeit("doubling_tables (w/ corr)", jax.jit(jax.vmap(doubling_tables)), xlp, cor
 del corr, xlp
 f_pre = jax.jit(lambda im, hp, fr: precompute_chunk(im, hp, fr))
 timeit("precompute_chunk full", f_pre, carry.feat.input_mem, carry.feat.hp_mem, frames)
+f_pre0 = jax.jit(lambda im, hp, fr: precompute_chunk(im, hp, fr, lag0=False))
+timeit("precompute_chunk lag0=False", f_pre0, carry.feat.input_mem, carry.feat.hp_mem, frames)
 
 # candidates builder (TPU pallas path)
 from nnnoiseless_tpu.ops.frame_kernel import candidates_pallas

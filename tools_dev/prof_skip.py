@@ -26,7 +26,7 @@ def timeit(name, fn, *args, n=3):
     print(f"{name:36s} {best*1000:9.1f} ms   ({B*T/best/100:.0f}x rt)", flush=True)
     return out
 
-f_pre = jax.jit(lambda im, hp, fr: precompute_chunk(im, hp, fr))
+f_pre = jax.jit(lambda im, hp, fr: precompute_chunk(im, hp, fr, lag0=False))
 pre, hp2 = f_pre(carry.feat.input_mem, carry.feat.hp_mem, frames)
 jax.block_until_ready(jax.tree_util.tree_leaves(pre))
 
@@ -35,6 +35,6 @@ def fused(skip):
     return lambda: timeit(f"kernel skip={skip!r}", f, carry, pre)
 
 fused(())()
-for s in [('rd',), ('dft',), ('rnn',), ('feat',), ('comb',), ('inv',),
-          ('rd', 'dft', 'rnn', 'feat', 'comb', 'inv')]:
+for s in [('rd',), ('lag0',), ('dft',), ('rnn',), ('feat',), ('comb',), ('inv',),
+          ('rd', 'lag0', 'dft', 'rnn', 'feat', 'comb', 'inv')]:
     fused(tuple(s))()
