@@ -37,15 +37,25 @@ def bench_batch(model, batch: int, n_frames: int, iters: int = 3) -> float:
     )
     carry = init_batch_carry(model.meta, batch)
 
+    def force(out):
+        # A host readback of a value derived from the full output is the
+        # only reliable completion barrier on this backend:
+        # jax.block_until_ready has been observed to return early for some
+        # program shapes (0.8 ms "measured" for a 115 ms chunk at batch
+        # 1024), silently inflating throughput ~100x.  The reduction reads
+        # one lane of the final frame — negligible work, but it cannot
+        # complete before the whole chunk has.
+        return float(jnp.sum(out[:, -1, 0]))
+
     # warmup/compile
     carry, out, vad = _sharded_chunk(model.params, model.meta, carry, frames)
-    jax.block_until_ready(out)
+    force(out)
 
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
         carry, out, vad = _sharded_chunk(model.params, model.meta, carry, frames)
-        jax.block_until_ready(out)
+        force(out)
         best = min(best, time.perf_counter() - t0)
     return batch * n_frames / best
 

@@ -222,15 +222,29 @@ def _mm(x, w):
     )
 
 
-def _gru_g(h, x, wi, wr, b, n, activation, tab2d):
-    gi = _mm(x, wi)
-    rzr = _mm(h, wr[:, : 2 * n])
+def _mm2(x, wb):
+    """2-pass bf16 contraction with EXACT bf16 weights: every model weight
+    is an int8 value (rnn.rs:21 WEIGHTS_SCALE), and integers up to 256 are
+    exactly representable in bf16's 8-bit significand, so only the
+    activation operand needs a hi/lo split.  Error ~2^-16 relative (the
+    3-pass class the DFT bases are parity-validated at) for 1/3 the MXU
+    passes of HIGHEST."""
+    x_hi = x.astype(_BF16)
+    x_lo = (x - x_hi.astype(_F32)).astype(_BF16)
+    return jnp.dot(x_hi, wb, preferred_element_type=_F32) + jnp.dot(
+        x_lo, wb, preferred_element_type=_F32
+    )
+
+
+def _gru_g(h, x, wi, wr, b, n, activation, tab2d, mm=_mm):
+    gi = mm(x, wi)
+    rzr = mm(h, wr[:, : 2 * n])
     z = _sigmoid_g(_SCALE * (b[0, :n] + gi[:, :n] + rzr[:, :n]), tab2d)
     r = h * _sigmoid_g(
         _SCALE * (b[0, n : 2 * n] + gi[:, n : 2 * n] + rzr[:, n:]), tab2d
     )
     hh = _act_g(
-        _SCALE * (b[0, 2 * n :] + gi[:, 2 * n :] + _mm(r, wr[:, 2 * n :])),
+        _SCALE * (b[0, 2 * n :] + gi[:, 2 * n :] + mm(r, wr[:, 2 * n :])),
         activation,
         tab2d,
     )
@@ -241,50 +255,69 @@ def _remove_doubling_block(cand, last_period, last_gain):
     """remove_doubling_from_candidates (ops/pitch.py) on a (bk, .) block.
 
     cand (bk, 105) precomputed candidate lanes, last_period (bk, 1) i32,
-    last_gain (bk, 1).  Pure (bk, 1) select arithmetic — no lookups.
-    Returns (period (bk,1) i32, gain (bk,1) f32)."""
+    last_gain (bk, 1).  Returns (period (bk,1) i32, gain (bk,1) f32).
+
+    The k = 2..15 scan is evaluated for ALL 14 submultiples at once on the
+    packed candidate lanes — (bk, 14) arithmetic instead of ~200 (bk, 1)
+    column ops (a (bk, 1) op uses 1/128th of the VPU lanes; this stage was
+    the hottest in the round-3 kernel at 81 ms/chunk).  The sequential
+    "overwrite if better" chain selects the LARGEST winning k, and the
+    early-break (`t1 < minp` stops the scan) masks every later lane via a
+    prefix-OR, so the lane-parallel form is decision-exact
+    (pitch.rs:118-221)."""
     minp = _F32(PITCH_MIN_DS)
     lane = lambda i: cand[:, i : i + 1]
     t0, g0, xy0, yy0 = lane(0), lane(1), lane(2), lane(3)
     prev_period = jnp.floor(last_period.astype(_F32) * _F32(0.5))
 
-    best_xy, best_yy = xy0, yy0
-    t, g = t0, g0
-    bidx = jnp.zeros_like(t0)
-    stopped = jnp.zeros_like(t0, dtype=jnp.bool_)
+    t1 = cand[:, 4:18]  # (bk, 14), k = 2..15
+    xy = cand[:, 18:32]
+    yy = cand[:, 32:46]
+    g1 = cand[:, 46:60]
+    # Mosaic only supports integer iota; cast to f32 after
+    kf = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, 14), 1) + 2
+    ).astype(_F32)  # (1, 14): k = 2..15
 
-    for k in range(2, 16):
-        t1 = lane(4 + (k - 2))
-        active = ~stopped & (t1 >= minp)
-        stopped = stopped | (t1 < minp)
-        xy = lane(18 + (k - 2))
-        yy = lane(32 + (k - 2))
-        g1 = lane(46 + (k - 2))
-        adiff = jnp.abs(t1 - prev_period)
-        cont = jnp.where(
-            adiff <= 1,
-            last_gain,
-            jnp.where(
-                (adiff <= 2) & (_F32(5 * k * k) < t0),
-                last_gain * _F32(0.5),
-                _F32(0.0),
-            ),
-        )
-        thresh = jnp.where(
-            t1 < 3 * minp,
-            jnp.maximum(_F32(0.85) * g0 - cont, _F32(0.4)),
-            jnp.where(
-                t1 < 2 * minp,
-                jnp.maximum(_F32(0.9) * g0 - cont, _F32(0.5)),
-                jnp.maximum(_F32(0.7) * g0 - cont, _F32(0.3)),
-            ),
-        )
-        upd = active & (g1 > thresh)
-        best_xy = jnp.where(upd, xy, best_xy)
-        best_yy = jnp.where(upd, yy, best_yy)
-        t = jnp.where(upd, t1, t)
-        g = jnp.where(upd, g1, g)
-        bidx = jnp.where(upd, _F32(k - 1), bidx)
+    # stop chain: lane k is active iff no lane k' <= k has t1 < minp
+    # (the sequential loop breaks the scan at the first too-small t1);
+    # inclusive prefix-OR via log-step shifted maxes over the 14 lanes
+    pref = (t1 < minp).astype(_F32)
+    for sh in (1, 2, 4, 8):
+        pref = jnp.maximum(pref, jnp.pad(pref, ((0, 0), (sh, 0)))[:, :-sh])
+    active = pref == _F32(0.0)
+
+    adiff = jnp.abs(t1 - prev_period)
+    cont = jnp.where(
+        adiff <= 1,
+        last_gain,
+        jnp.where(
+            (adiff <= 2) & (_F32(5.0) * kf * kf < t0),
+            last_gain * _F32(0.5),
+            _F32(0.0),
+        ),
+    )
+    thresh = jnp.where(
+        t1 < 3 * minp,
+        jnp.maximum(_F32(0.85) * g0 - cont, _F32(0.4)),
+        jnp.where(
+            t1 < 2 * minp,
+            jnp.maximum(_F32(0.9) * g0 - cont, _F32(0.5)),
+            jnp.maximum(_F32(0.7) * g0 - cont, _F32(0.3)),
+        ),
+    )
+    upd = active & (g1 > thresh)
+    # the sequential chain keeps the LAST (largest-k) winner
+    win = jnp.max(jnp.where(upd, kf - _F32(1.0), _F32(0.0)), axis=1, keepdims=True)
+    sel14 = (kf - _F32(1.0) == win) & upd
+    pick14 = lambda v, dflt: jnp.sum(
+        jnp.where(sel14, v, _F32(0.0)), axis=1, keepdims=True
+    ) + jnp.where(jnp.any(sel14, axis=1, keepdims=True), _F32(0.0), dflt)
+    best_xy = pick14(xy, xy0)
+    best_yy = pick14(yy, yy0)
+    t = pick14(t1, t0)
+    g = pick14(g1, g0)
+    bidx = win
 
     best_xy = jnp.maximum(best_xy, _F32(0.0))
     pg = jnp.where(
@@ -438,6 +471,24 @@ def _make_frame_kernel(acts: tuple, skip: tuple = (), fps: int = 1,
             id_w, id_b, vw_i, vw_r, vw_b, nw_i, nw_r, nw_b,
             dw_i, dw_r, dw_b, do_w, do_b, vo_w, vo_b,
         ) = (next(it) for _ in range(15))
+        # int8-valued weight matrices are exact in bf16 (see _mm2);
+        # converted ONCE per grid step, outside the frame loop.  In
+        # interpret mode (CPU equivalence tests) everything stays f32.
+        w8 = (lambda r: r[:, :].astype(_BF16)) if mxu3 else (lambda r: r[:, :])
+        mmw = _mm2 if mxu3 else _mm
+        W_id, W_vi, W_vr, W_ni, W_nr, W_di, W_dr, W_do, W_vo = (
+            w8(id_w), w8(vw_i), w8(vw_r), w8(nw_i), w8(nw_r),
+            w8(dw_i), w8(dw_r), w8(do_w), w8(vo_w),
+        )
+        # (176, 8) block-sum indicator for the cepstral-distance feature:
+        # seg8[l, i] = 1 iff lane l belongs to history row i
+        seg8 = (
+            jax.lax.broadcasted_iota(jnp.int32, (CEPS_MEM * nb, CEPS_MEM), 0)
+            // nb
+            == jax.lax.broadcasted_iota(
+                jnp.int32, (CEPS_MEM * nb, CEPS_MEM), 1
+            )
+        ).astype(_F32)
         (mem0, synth0, cmem0, hv0, hn0, hd0, lastg0, per0, pgain0) = (
             next(it) for _ in range(9)
         )
@@ -565,21 +616,27 @@ def _make_frame_kernel(acts: tuple, skip: tuple = (), fps: int = 1,
             f_d1 = c0 - c2
             f_d2 = c0 - _F32(2.0) * c1 + c2
 
-            rows = (
-                [new_cm[:, i * nb : (i + 1) * nb] for i in range(CEPS_MEM)]
-                if 'feat' not in skip else []
-            )
-            min_dist = [None] * CEPS_MEM
-            for i in range(CEPS_MEM if 'feat' not in skip else 0):
-                for j in range(CEPS_MEM):
-                    if i == j:
-                        continue
-                    d = rows[i] - rows[j]
-                    dist = jnp.sum(d * d, axis=1, keepdims=True)
-                    min_dist[i] = (
-                        dist if min_dist[i] is None else jnp.minimum(min_dist[i], dist)
-                    )
-            f_spec = (sum(min_dist) / _F32(CEPS_MEM) - _F32(2.1)) if 'feat' not in skip else None
+            if 'feat' in skip:
+                f_spec = None
+            else:
+                # spectral-variability feature (features.rs:204-214): per
+                # cepstral-history row, min distance to any other row,
+                # averaged over rows.  Lane-parallel: for each cyclic
+                # offset dd, roll the packed (bk, 176) history by dd rows
+                # and block-sum the squared difference with ONE (176, 8)
+                # indicator matmul — all 8 (i, i-dd) pair distances at
+                # once.  (The 8x8 python loop was 56 (bk, 1) column ops —
+                # the second-hottest stage of the round-3 kernel, ~44 ms.)
+                md = None
+                for dd in range(1, CEPS_MEM):
+                    nr = pltpu.roll(new_cm, dd * nb, axis=1)
+                    d2 = new_cm - nr
+                    dist = _mm(d2 * d2, seg8)  # (bk, 8)
+                    md = dist if md is None else jnp.minimum(md, dist)
+                f_spec = (
+                    jnp.sum(md, axis=1, keepdims=True) / _F32(CEPS_MEM)
+                    - _F32(2.1)
+                )
 
             if 'feat' in skip:
                 features = jnp.concatenate([ceps, ceps[:, :20]], axis=1)
@@ -602,17 +659,17 @@ def _make_frame_kernel(acts: tuple, skip: tuple = (), fps: int = 1,
             if 'rnn' not in skip:
                 hv, hn, hd = hvF[:, :], hnF[:, :], hdF[:, :]
             if 'rnn' not in skip:
-                d = _act_g(_SCALE * (id_b[0, :] + _mm(f, id_w[:, :])), a_id, tab2d)
-                hv2 = _gru_g(hv, d, vw_i[:, :], vw_r[:, :], vw_b, d_v, a_vad, tab2d)
+                d = _act_g(_SCALE * (id_b[0, :] + mmw(f, W_id)), a_id, tab2d)
+                hv2 = _gru_g(hv, d, W_vi, W_vr, vw_b, d_v, a_vad, tab2d, mmw)
                 vad = _act_g(
-                    _SCALE * (vo_b[0, :] + _mm(hv2, vo_w[:, :])), a_vo, tab2d
+                    _SCALE * (vo_b[0, :] + mmw(hv2, W_vo)), a_vo, tab2d
                 )
                 noise_in = jnp.concatenate([d, hv2, f], axis=-1)
-                hn2 = _gru_g(hn, noise_in, nw_i[:, :], nw_r[:, :], nw_b, d_n, a_noise, tab2d)
+                hn2 = _gru_g(hn, noise_in, W_ni, W_nr, nw_b, d_n, a_noise, tab2d, mmw)
                 den_in = jnp.concatenate([hv2, hn2, f], axis=-1)
-                hd2 = _gru_g(hd, den_in, dw_i[:, :], dw_r[:, :], dw_b, d_h, a_den, tab2d)
+                hd2 = _gru_g(hd, den_in, W_di, W_dr, dw_b, d_h, a_den, tab2d, mmw)
                 gains = _act_g(
-                    _SCALE * (do_b[0, :] + _mm(hd2, do_w[:, :])), a_do, tab2d
+                    _SCALE * (do_b[0, :] + mmw(hd2, W_do)), a_do, tab2d
                 )
             hvF[:, :] = jnp.where(sil, hv, hv2)
             hnF[:, :] = jnp.where(sil, hn, hn2)
@@ -813,8 +870,10 @@ def run_fused_scan(params, meta, carry, pre, interpret: bool = False,
     if fps is None:  # largest frames-per-step that divides the chunk
         import os
 
-        want = int(os.environ.get("NNT_FPS", "4"))
-        fps = next(f for f in (want, 4, 2, 1) if f <= want and t % f == 0)
+        # fps=5 measured fastest at production shape (155.8 ms vs 167.5
+        # at fps=4 and 161.5 at fps=10 for the 100-frame 4096-batch chunk)
+        want = int(os.environ.get("NNT_FPS", "5"))
+        fps = next(f for f in (want, 5, 4, 2, 1) if f <= want and t % f == 0)
     weights = _flatten_params(params)
     packed_out, cf = frame_loop_pallas(
         weights, carry_arrays, filt, cand,
