@@ -36,6 +36,7 @@ from .constants import (
     FRAME_SIZE,
     FREQ_SIZE,
     PITCH_BUF_SIZE,
+    PITCH_FRAME_DS,
     PITCH_MAX_DS,
     PITCH_MAX_PERIOD,
     WINDOW_SIZE,
@@ -48,6 +49,7 @@ from .ops.pitch import (
     doubling_tables,
     pitch_search,
     whiten,
+    window_energies,
 )
 from .pipeline import FramePre, log_spectrum
 from .tables import BIQUAD_HP_A, BIQUAD_HP_B
@@ -140,24 +142,33 @@ def precompute_chunk(
     x_lp_raw = x_lp_raw.at[..., 0].set((odd0 * _F32(0.5) + even0) * _F32(0.5))
 
     flat = x_lp_raw.reshape(t * b, _DS_WIN)
-    x_lp = jax.vmap(whiten)(flat)
-    # The fine-search correlation dot(x_lp[384:], x_lp[i:i+480]) IS the
-    # octave-removal correlation at more lags: compute it ONCE for all
-    # frames via DFTs (grouped 1-D convs lower as shifted adds on TPU) and
-    # share it between both consumers.
-    corr_shared = xcorr_dft(x_lp[:, PITCH_MAX_DS:], x_lp, PITCH_MAX_DS + 1)
-    search = jax.vmap(pitch_search)(x_lp, corr_shared)
-    pitch_idx = PITCH_MAX_PERIOD - search
-
-    corr_full, yy_lookup, xx = jax.vmap(doubling_tables)(x_lp, corr_shared)
     if jax.default_backend() == "cpu":
+        x_lp = jax.vmap(whiten)(flat)
+        # The fine-search correlation dot(x_lp[384:], x_lp[i:i+480]) IS
+        # the octave-removal correlation at more lags: compute it ONCE for
+        # all frames via DFTs (grouped 1-D convs lower as shifted adds on
+        # TPU) and share it between both consumers.
+        corr_shared = xcorr_dft(x_lp[:, PITCH_MAX_DS:], x_lp, PITCH_MAX_DS + 1)
+        # ONE 385-lag forward window-energy table serves both the
+        # fine-stage normalizer (first 294 lags) and octave removal's
+        # reversed energy walk (a lane flip) — the banded matrices are
+        # column selections of each other, so sharing is bit-exact and
+        # deletes two of the three big banded matmuls.
+        energies = window_energies(x_lp, PITCH_FRAME_DS, PITCH_MAX_DS + 1)
+        search = jax.vmap(pitch_search)(x_lp, corr_shared, energies)
+        pitch_idx = PITCH_MAX_PERIOD - search
+        corr_full, yy_lookup, xx = jax.vmap(doubling_tables)(
+            x_lp, corr_shared, energies
+        )
         cand = jax.vmap(doubling_candidates)(corr_full, yy_lookup, xx, pitch_idx)
     else:
-        # the ~100 per-row dynamic lookups as a parallel Pallas kernel —
-        # XLA lowers them as serial gathers (+550 ms at production batch)
-        from .ops.frame_kernel import candidates_pallas
+        # the ENTIRE pitch stack — whiten, shared 385-lag correlation,
+        # energy table, coarse/fine search and candidate tables — as ONE
+        # parallel Pallas kernel; every intermediate stays in VMEM
+        # (ops/pitch_kernel.py)
+        from .ops.pitch_kernel import pitch_analysis_pallas
 
-        cand = candidates_pallas(corr_full, yy_lookup, xx, pitch_idx)
+        cand, _ = pitch_analysis_pallas(flat)
 
     pre = FramePre(
         filtered=filtered_tm,

@@ -190,7 +190,10 @@ def sliding_dot(x: jnp.ndarray, y: jnp.ndarray, n_lags: int) -> jnp.ndarray:
 
 
 def find_best_pitch(
-    xcorr: jnp.ndarray, y: jnp.ndarray, length: int
+    xcorr: jnp.ndarray,
+    y: jnp.ndarray,
+    length: int,
+    energies: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Top-2 lags maximizing xcorr^2 / ||y[i:i+length]||^2.
 
@@ -220,7 +223,14 @@ def find_best_pitch(
     cross-check vs the sequential native engine, tests/test_pitch_trace.py).
     """
     n_lags = xcorr.shape[0]
-    w = window_energies(y, length, n_lags)  # ||y[i:i+length]||^2, one matmul
+    # ||y[i:i+length]||^2 — one banded matmul, or a caller-shared table
+    # (the chunk path computes the 385-lag forward table ONCE and serves
+    # this consumer and octave removal's reversed walk from it; the banded
+    # matrices are column-selections of each other, so sharing is
+    # bit-exact).
+    w = energies[:n_lags] if energies is not None else window_energies(
+        y, length, n_lags
+    )
     u = jnp.maximum(_F32(1.0) + w, _F32(1.0))  # ysn as seen at each lag
 
     qualified = xcorr > _F32(0.0)
@@ -244,7 +254,9 @@ def find_best_pitch(
 
 
 def pitch_search(
-    pitch_buf: jnp.ndarray, xcorr2_full: jnp.ndarray | None = None
+    pitch_buf: jnp.ndarray,
+    xcorr2_full: jnp.ndarray | None = None,
+    energies: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Two-stage coarse/fine pitch search on the whitened 2x buffer.
 
@@ -279,7 +291,7 @@ def pitch_search(
     lags = jnp.arange(n_fine, dtype=jnp.int32)
     near = (jnp.abs(lags - 2 * best4) <= 2) | (jnp.abs(lags - 2 * second4) <= 2)
     xcorr2 = jnp.where(near, jnp.maximum(xcorr2_full, _F32(-1.0)), _F32(0.0))
-    best2, _ = find_best_pitch(xcorr2, pitch_buf, PITCH_FRAME_DS)
+    best2, _ = find_best_pitch(xcorr2, pitch_buf, PITCH_FRAME_DS, energies)
 
     # Pseudo-interpolation (only in the interior).
     bm1 = jnp.clip(best2 - 1, 0, n_fine - 1)
@@ -298,7 +310,9 @@ def pitch_search(
 
 
 def doubling_tables(
-    x: jnp.ndarray, corr_full: jnp.ndarray | None = None
+    x: jnp.ndarray,
+    corr_full: jnp.ndarray | None = None,
+    energies: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Frame-local inputs of octave removal: (corr_full, yy_lookup, xx).
 
@@ -324,10 +338,17 @@ def doubling_tables(
 
     # yy_lookup[k] == ||x[384-k : 864-k]||^2 (the reference's running
     # add/subtract table telescopes to exact window energies): one banded
-    # matmul for all 385 windows.  Non-negative by construction; the
-    # clamp only guards f32 rounding.
+    # matmul for all 385 windows.  The reversed walk is a lane flip of the
+    # forward table (reverse window k = forward window 384-k — identical
+    # banded-matrix columns, reordered), so when the caller shares the
+    # forward table the flip is bit-exact and the matmul is skipped
+    # entirely.  Non-negative by construction; the clamp only guards f32
+    # rounding.
     yy_lookup = jnp.maximum(
-        window_energies(x, n, max_period + 1, reverse=True), _F32(0.0)
+        energies[..., ::-1]
+        if energies is not None
+        else window_energies(x, n, max_period + 1, reverse=True),
+        _F32(0.0),
     )
     xx = yy_lookup[..., 0]
     return corr_full, yy_lookup, xx

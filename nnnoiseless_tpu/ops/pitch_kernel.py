@@ -1,0 +1,440 @@
+"""Fused pitch-analysis Pallas kernel: raw 2x window -> candidate tables.
+
+Round-3 precompute redesign.  The chunk phase's pitch stack — LPC
+whitening, the shared 385-lag correlation, the coarse/fine search and the
+octave-removal candidate tables (ops/pitch.py, re-deriving
+src/pitch.rs:63-221 + 448-483) — used to run as ~8 chained XLA programs
+over (T*B, ...) tensors, streaming every intermediate (the whitened
+buffer, two spectra, the correlation/energy tables; ~10 GB per production
+chunk) through HBM.  The work is frame-local and batch-parallel, so the
+TPU-native shape is ONE parallel Pallas kernel over row blocks: each
+(block, 864) raw window is whitened, searched and tabulated entirely in
+VMEM, and only the (block, 105) candidate lanes + the pitch index ever
+leave the chip.
+
+Numerics: every matmul runs in the 3-pass bf16 class (hi/lo splits,
+frame_kernel._mm3) the XLA path is parity-validated at; the banded
+window-energy matrix and the decimation selectors are 0/1-valued — exact
+in bf16 — so those products need only the 2-pass operand split.  The DFT
+half-spectrum (433 bins at n=864) is padded to 512 lanes so the re/im
+split lands on a 128-lane boundary (misaligned lane splits relayout);
+padded bins are zero columns through the forward bases and zero rows
+through the inverse, contributing exact zeros.
+
+Reduction orders inside a block (row sums for autocorrelation, the
+whitening FIR chain) differ from the XLA path at f32 ulp level; lag
+DECISIONS are gated by the CPU equivalence tests (interpret mode, exact
+candidate-lane comparison) and the TPU lane's golden + flip-budget bars,
+like every other program-shape change this round.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import (
+    MAX_PITCH,
+    PITCH_FRAME_DS,
+    PITCH_MAX_DS,
+    PITCH_MAX_PERIOD,
+)
+from .frame_kernel import _div_const, _lookup, _mm3, _split3, _split_hi_lo
+from .pitch import _LPC_TAPER
+from ..tables import SECOND_CHECK
+
+_F32 = jnp.float32
+_BF16 = jnp.bfloat16
+
+_N_DS = 864  # downsampled pitch-buffer length
+_N_LAGS = PITCH_MAX_DS + 1  # 385
+_N_FINE = MAX_PITCH // 2  # 294 fine-search lags
+_N_COARSE = MAX_PITCH // 4  # 147 coarse lags
+_LEN4 = PITCH_FRAME_DS // 2  # 240: coarse kernel length
+_YLEN4 = _LEN4 + _N_COARSE  # 387: coarse y length
+_N_DFT = _N_DS  # 864-point DFT for the 385-lag correlation
+_H_PAD = 512  # padded half-spectrum (433 -> 512, aligned)
+_N_DFT4 = 388  # coarse DFT size (240 + 147 - 1 -> even)
+_H4_PAD = 256  # padded coarse half-spectrum (195 -> 256)
+_X4_PAD = 256  # x_lp4 lanes (240 -> 256)
+_NEG = np.float32(-3.0e38)  # -inf stand-in (Mosaic-safe)
+
+
+def _packed_dft_bases(n: int, h_pad: int, n_lags: int, rows: int):
+    """(rows, 2*h_pad) forward basis + (2*h_pad, n_lags) inverse, f64->f32.
+
+    Packed [re(h_pad) | im(h_pad)] with bins >= n//2+1 zeroed.  Matches
+    ops/fft.py::_raw_corr_bases except for the alignment padding."""
+    h = n // 2 + 1
+    idx = np.arange(rows)[:, None]
+    k = np.arange(h_pad)[None, :]
+    theta = 2.0 * np.pi * idx * np.minimum(k, h - 1) / n
+    valid = (k < h).astype(np.float64)
+    fwd = np.concatenate(
+        [np.cos(theta) * valid, -np.sin(theta) * valid], axis=1
+    )  # (rows, 2*h_pad)
+
+    ck = np.where(np.arange(h_pad) < h, 2.0, 0.0)
+    ck[0] = 1.0
+    if h - 1 < h_pad:
+        ck[h - 1] = 1.0
+    sk = np.where(np.arange(h_pad) < h, -2.0, 0.0)
+    sk[0] = 0.0
+    if h - 1 < h_pad:
+        sk[h - 1] = 0.0
+    lag = np.arange(n_lags)[None, :]
+    theta_kl = 2.0 * np.pi * np.minimum(np.arange(h_pad), h - 1)[:, None] * lag / n
+    inv = (
+        np.concatenate(
+            [ck[:, None] * np.cos(theta_kl), sk[:, None] * np.sin(theta_kl)],
+            axis=0,
+        )
+        / n
+    )  # (2*h_pad, n_lags)
+    f32 = lambda m: np.ascontiguousarray(m, np.float32)
+    return f32(fwd), f32(inv)
+
+
+@functools.lru_cache(maxsize=1)
+def _pitch_consts():
+    """All constant operands, bf16 hi/lo split (0/1 matrices single-copy)."""
+    # 385-lag correlation DFTs (n = 864)
+    fr, ic = _packed_dft_bases(_N_DFT, _H_PAD, _N_LAGS, rows=_N_DS)
+    # coarse DFTs (n = 388): y side reads 387 rows, x side 240 (padded 256)
+    fr4, ic4 = _packed_dft_bases(_N_DFT4, _H4_PAD, _N_COARSE, rows=_YLEN4)
+    fr4x = np.zeros((_X4_PAD, 2 * _H4_PAD), np.float32)
+    fr4x[:_LEN4] = fr4[:_LEN4]
+
+    # banded window-energy matrices (0/1: exact in bf16)
+    w_e = np.zeros((_N_DS, _N_LAGS), np.float32)
+    for k in range(_N_LAGS):
+        w_e[k : k + PITCH_FRAME_DS, k] = 1.0
+    w4 = np.zeros((_YLEN4, _N_COARSE), np.float32)
+    for k in range(_N_COARSE):
+        w4[k : k + _LEN4, k] = 1.0
+
+    # decimation selectors (0/1: exact in bf16)
+    d_y4 = np.zeros((_N_DS, _YLEN4), np.float32)  # y_lp4[j] = y[2j]
+    d_y4[2 * np.arange(_YLEN4), np.arange(_YLEN4)] = 1.0
+    d_x4 = np.zeros((_N_DS, _X4_PAD), np.float32)  # x_lp4[j] = y[384 + 2j]
+    d_x4[PITCH_MAX_DS + 2 * np.arange(_LEN4), np.arange(_LEN4)] = 1.0
+
+    return fr, ic, fr4, fr4x, ic4, w_e, w4, d_y4, d_x4
+
+
+@functools.lru_cache(maxsize=2)
+def _pitch_operands(mxu3: bool):
+    """ORDERED constant operand tuple (pallas_call inputs; Mosaic kernels
+    cannot capture array constants).  ``mxu3``: bf16 hi/lo splits for the
+    3-pass contraction class; False (interpret mode) keeps plain f32 so
+    the CPU equivalence tests compare f32 against f32, exactly like the
+    frame kernel's ``mxu3`` switch.
+
+    NUMPY arrays only — this cache outlives jit traces, and a jnp array
+    created inside a trace is a leaked tracer."""
+    fr, ic, fr4, fr4x, ic4, w_e, w4, d_y4, d_x4 = _pitch_consts()
+    if not mxu3:
+        return (fr, ic, fr4, fr4x, ic4, w_e, w4, d_y4, d_x4)
+    bf = lambda m: np.asarray(m).astype(_BF16)
+    return (
+        _split_hi_lo(fr) + _split_hi_lo(ic) + _split_hi_lo(fr4)
+        + _split_hi_lo(fr4x) + _split_hi_lo(ic4)
+        + (bf(w_e), bf(w4), bf(d_y4), bf(d_x4))
+    )
+
+
+def _mm_exact01(x, w01):
+    """2-pass contraction with an EXACT-bf16 (0/1-valued) matrix."""
+    hi, lo = _split3(x)
+    d = lambda a: jnp.dot(a, w01, preferred_element_type=_F32)
+    return d(hi) + d(lo)
+
+
+def _roll_right(x, j):
+    """x shifted right by j lanes, zeros shifted in (static j)."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lanes >= j, pltpu.roll(x, j, axis=1), _F32(0.0))
+
+
+def _row_argmax(ratio):
+    """(best_value, first_index) over lanes — earlier lane wins ties."""
+    m = jnp.max(ratio, axis=1, keepdims=True)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, ratio.shape, 1)
+    idx = jnp.min(
+        jnp.where(ratio == m, lanes, jnp.int32(1 << 30)), axis=1, keepdims=True
+    )
+    return m, idx
+
+
+def _find_best_pitch_block(xcorr, w):
+    """ops/pitch.py::find_best_pitch on (bk, n_lags) lanes.
+
+    Returns (best, second) (bk, 1) int32 with the reference's sentinel
+    semantics for < 2 qualified lags (pitch.rs:372-405)."""
+    u = jnp.maximum(_F32(1.0) + w, _F32(1.0))
+    qualified = xcorr > _F32(0.0)
+    ratio = jnp.where(qualified, (xcorr * xcorr) / u, _NEG)
+    _, best = _row_argmax(ratio)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, ratio.shape, 1)
+    ratio2 = jnp.where(lanes == best, _NEG, ratio)
+    m2, second = _row_argmax(ratio2)
+    has_second = m2 > _NEG
+    any_q = jnp.max(qualified.astype(jnp.int32), axis=1, keepdims=True) > 0
+    second = jnp.where(
+        has_second,
+        second,
+        jnp.where(any_q, jnp.int32(0), jnp.int32(1)),
+    )
+    return best, second
+
+
+def _whiten_block(x):
+    """ops/pitch.py::whiten on a (bk, 864) block: order-4 Levinson + the
+    6-tap zero-history FIR (pitch.rs:448-483), all lanes resident."""
+    n = x.shape[1]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    # autocorrelation lags 0..4: masked roll + row sum
+    acs = [jnp.sum(x * x, axis=1, keepdims=True)]
+    for k in range(1, 5):
+        # left-roll by k (roll is cyclic-right for positive shifts)
+        shifted = jnp.where(lanes < n - k, pltpu.roll(x, n - k, axis=1), _F32(0.0))
+        acs.append(jnp.sum(x * shifted, axis=1, keepdims=True))
+    ac = acs
+    ac[0] = ac[0] * _F32(1.0001)
+    for i in range(1, 5):
+        s = np.float32((0.008 * i) * (0.008 * i))
+        ac[i] = ac[i] - ac[i] * s
+
+    # Levinson-Durbin with the reference's early-exit freeze
+    lpc = [jnp.zeros_like(ac[0])] * 4
+    error = ac[0]
+    done = ac[0] == _F32(0.0)
+    thresh = _F32(0.001) * ac[0]
+    for i in range(4):
+        rr = ac[i + 1]
+        for j in range(i):
+            rr = rr + lpc[j] * ac[i - j]
+        r = -rr / jnp.where(done, _F32(1.0), error)
+        new = list(lpc)
+        new[i] = r
+        for j in range((i + 1) // 2):
+            t1, t2 = new[j], new[i - 1 - j]
+            new[j] = t1 + r * t2
+            new[i - 1 - j] = t2 + r * t1
+        lpc = [jnp.where(done, o, nw) for o, nw in zip(lpc, new)]
+        error = jnp.where(done, error, error - r * r * error)
+        done = jnp.logical_or(done, error < thresh)
+    c = [lpc[i] * _F32(_LPC_TAPER[i]) for i in range(4)]
+
+    # FIR taps with the 0.8 zero folded in
+    k0 = _F32(1.0)
+    taps = [
+        c[0] + _F32(0.8),
+        c[1] + _F32(0.8) * c[0],
+        c[2] + _F32(0.8) * c[1],
+        c[3] + _F32(0.8) * c[2],
+        _F32(0.8) * c[3],
+    ]
+    y = k0 * x
+    for j in range(1, 6):
+        y = y + taps[j - 1] * _roll_right(x, j)
+    return y
+
+
+def _candidate_lanes(corr, e_tab, xx, pidx):
+    """ops/pitch.py::doubling_candidates on (bk, .) lanes.
+
+    ``e_tab`` is the FORWARD 385-lag energy table; the reversed walk
+    yy_lookup[t] == max(e_tab[384 - t], 0) is realized by index
+    arithmetic in the lookups (no lane flip)."""
+    maxp = PITCH_MAX_DS
+    t0 = jnp.minimum(_div_const(pidx, 2), maxp - 1)
+
+    def corr_at(t):
+        return _lookup(corr, maxp - t)
+
+    def yy_at(t):
+        return jnp.maximum(_lookup(e_tab, maxp - t), _F32(0.0))
+
+    def pitch_gain(xy, yy):
+        return xy / jnp.sqrt(_F32(1.0) + xx * yy)
+
+    xy0 = corr_at(t0)
+    yy0 = yy_at(t0)
+    g0 = pitch_gain(xy0, yy0)
+
+    t1s, xys, yys, g1s = [], [], [], []
+    for k in range(2, 16):
+        t1 = _div_const(2 * t0 + k, 2 * k)
+        if k == 2:
+            t1b = jnp.where(t1 + t0 > maxp, t0, t0 + t1)
+        else:
+            t1b = _div_const(2 * SECOND_CHECK[k] * t0 + k, 2 * k)
+        xy = (corr_at(t1) + corr_at(t1b)) * _F32(0.5)
+        yy = (yy_at(t1) + yy_at(t1b)) * _F32(0.5)
+        t1s.append(t1)
+        xys.append(xy)
+        yys.append(yy)
+        g1s.append(pitch_gain(xy, yy))
+
+    cands = [t0] + t1s
+    cm1 = [corr_at(t - 1) for t in cands]
+    cc = [corr_at(t) for t in cands]
+    cp1 = [corr_at(t + 1) for t in cands]
+    return jnp.concatenate(
+        [t0.astype(_F32), g0, xy0, yy0]
+        + [t.astype(_F32) for t in t1s]
+        + xys + yys + g1s + cm1 + cc + cp1,
+        axis=1,
+    )
+
+
+def _make_pitch_kernel(mxu3: bool):
+    def kernel(x_ref, *refs):
+        if mxu3:
+            (
+                fr_hi, fr_lo, ic_hi, ic_lo, fr4_hi, fr4_lo, fr4x_hi,
+                fr4x_lo, ic4_hi, ic4_lo, w_e_ref, w4_ref, d_y4_ref,
+                d_x4_ref, cand_ref, pidx_ref,
+            ) = refs
+            consts = {
+                "fr": (fr_hi[:, :], fr_lo[:, :]),
+                "ic": (ic_hi[:, :], ic_lo[:, :]),
+                "fr4": (fr4_hi[:, :], fr4_lo[:, :]),
+                "fr4x": (fr4x_hi[:, :], fr4x_lo[:, :]),
+                "ic4": (ic4_hi[:, :], ic4_lo[:, :]),
+            }
+            mm = lambda x, k: _mm3(_split3(x), *consts[k])
+            mm01 = _mm_exact01
+        else:
+            (
+                fr_ref, ic_ref, fr4_ref, fr4x_ref, ic4_ref,
+                w_e_ref, w4_ref, d_y4_ref, d_x4_ref,
+                cand_ref, pidx_ref,
+            ) = refs
+            consts = {
+                "fr": fr_ref, "ic": ic_ref, "fr4": fr4_ref,
+                "fr4x": fr4x_ref, "ic4": ic4_ref,
+            }
+            mm = lambda x, k: jnp.dot(
+                x, consts[k][:, :], preferred_element_type=_F32
+            )
+            mm01 = lambda x, w: jnp.dot(x, w, preferred_element_type=_F32)
+        x = x_ref[:, :]  # (bk, 864) raw downsampled window
+        y = _whiten_block(x)
+
+        # shared 385-lag forward window-energy table (0/1 matrix: exact)
+        y2 = y * y
+        e_tab = mm01(y2, w_e_ref[:, :])  # (bk, 385)
+
+        # 385-lag correlation corr[s] = dot(y[384:], y[s:s+480]) via DFTs
+        lanes = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+        tail = jnp.where(
+            lanes < PITCH_FRAME_DS,
+            pltpu.roll(y, _N_DS - PITCH_MAX_DS, axis=1),
+            _F32(0.0),
+        )  # y[384:864] left-aligned, zero-padded (cyclic-right roll)
+        xk = mm(tail, "fr")  # (bk, 1024)
+        yk = mm(y, "fr")
+        xr, xi = xk[:, :_H_PAD], xk[:, _H_PAD:]
+        yr, yi = yk[:, :_H_PAD], yk[:, _H_PAD:]
+        prod = jnp.concatenate(
+            [xr * yr + xi * yi, xr * yi - xi * yr], axis=1
+        )
+        corr = mm(prod, "ic")  # (bk, 385)
+
+        # coarse stage on 4x-decimated views (exact 0/1 selectors)
+        y4 = mm01(y, d_y4_ref[:, :])  # (bk, 387) = y[0::2][:387]
+        x4 = mm01(y, d_x4_ref[:, :])  # (bk, 256) = y[384::2][:240]
+        x4k = mm(x4, "fr4x")
+        y4k = mm(y4, "fr4")
+        x4r, x4i = x4k[:, :_H4_PAD], x4k[:, _H4_PAD:]
+        y4r, y4i = y4k[:, :_H4_PAD], y4k[:, _H4_PAD:]
+        prod4 = jnp.concatenate(
+            [x4r * y4r + x4i * y4i, x4r * y4i - x4i * y4r], axis=1
+        )
+        xcorr4 = mm(prod4, "ic4")  # (bk, 147)
+        w4 = mm01(y4 * y4, w4_ref[:, :])  # (bk, 147)
+        best4, second4 = _find_best_pitch_block(xcorr4, w4)
+
+        # fine stage: the shared correlation masked to the candidate set
+        fine_lanes = jax.lax.broadcasted_iota(
+            jnp.int32, (x.shape[0], _N_FINE), 1
+        )
+        near = (jnp.abs(fine_lanes - 2 * best4) <= 2) | (
+            jnp.abs(fine_lanes - 2 * second4) <= 2
+        )
+        corr_fine = corr[:, :_N_FINE]
+        xcorr2 = jnp.where(
+            near, jnp.maximum(corr_fine, _F32(-1.0)), _F32(0.0)
+        )
+        best2, _ = _find_best_pitch_block(xcorr2, e_tab[:, :_N_FINE])
+
+        # pseudo-interpolation (interior only)
+        bm1 = jnp.clip(best2 - 1, 0, _N_FINE - 1)
+        bp1 = jnp.clip(best2 + 1, 0, _N_FINE - 1)
+        a = _lookup(xcorr2, bm1)
+        b = _lookup(xcorr2, best2)
+        cv = _lookup(xcorr2, bp1)
+        offset = jnp.where(
+            cv - a > _F32(0.7) * (b - a),
+            jnp.int32(1),
+            jnp.where(a - cv > _F32(0.7) * (b - cv), jnp.int32(-1), jnp.int32(0)),
+        )
+        interior = (best2 > 0) & (best2 < _N_FINE - 1)
+        offset = jnp.where(interior, offset, jnp.int32(0))
+        search = 2 * best2 - offset
+        pidx = PITCH_MAX_PERIOD - search  # (bk, 1) i32
+
+        xx = jnp.maximum(e_tab[:, PITCH_MAX_DS:], _F32(0.0))  # (bk, 1)
+        cand_ref[:, :] = _candidate_lanes(corr, e_tab, xx, pidx)
+        pidx_ref[:, :] = pidx
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pitch_analysis_pallas(x_lp_raw, interpret: bool = False):
+    """(R, 864) raw 2x-downsampled windows -> ((R, 105) candidate lanes,
+    (R,) i32 pitch_idx).
+
+    Replaces chunk.py's whiten -> xcorr_dft -> pitch_search ->
+    doubling_tables -> candidates_pallas chain with one VMEM-resident
+    pass.  Rows are padded to a block multiple; pad rows compute on
+    zeros and are sliced away."""
+    r = x_lp_raw.shape[0]
+    # bk=128: the DFT bases + per-block intermediates total ~13 MB VMEM;
+    # 256-row blocks overflow the ~16 MB budget.
+    block = 128
+    rp = -(-r // block) * block
+    if rp != r:
+        x_lp_raw = jnp.pad(x_lp_raw, ((0, rp - r), (0, 0)))
+
+    def spec(lanes):
+        return pl.BlockSpec(
+            (block, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
+    mxu3 = not interpret
+    operands = _pitch_operands(mxu3)
+    const_specs = [
+        pl.BlockSpec(c.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for c in operands
+    ]
+    cand, pidx = pl.pallas_call(
+        _make_pitch_kernel(mxu3),
+        grid=(rp // block,),
+        in_specs=[spec(_N_DS)] + const_specs,
+        out_specs=[spec(105), spec(1)],
+        out_shape=[
+            jax.ShapeDtypeStruct((rp, 105), jnp.float32),
+            jax.ShapeDtypeStruct((rp, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(x_lp_raw, *operands)
+    return cand[:r], pidx[:r, 0]
