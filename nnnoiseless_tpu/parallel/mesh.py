@@ -89,16 +89,43 @@ def _fused_shardmap_jit(
     )(params, carry, pre)
 
 
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _precompute_shardmap_jit(input_mem, hp_mem, frames, mesh: Mesh, axis_name: str):
+    """The chunk precompute under ``shard_map`` over the dp axis.
+
+    On non-CPU backends the precompute contains Pallas kernels (the fused
+    pitch-analysis kernel, ops/pitch_kernel.py), which are not
+    auto-partitionable under GSPMD — each device must run the program on
+    its local batch shard.  Streams never couple, so specs are pure dp
+    shards (FramePre fields are TIME-major: P(None, dp))."""
+    from ..chunk import precompute_chunk
+    from ..pipeline import FramePre
+
+    def local(im, hm, fr):
+        return precompute_chunk(im, hm, fr, False)
+
+    dp = P(axis_name)
+    tdp = P(None, axis_name)
+    pre_specs = FramePre(
+        filtered=tdp, x=None, ex=None, silence=None, ceps=None, cand=tdp
+    )
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(dp, dp, dp),
+        out_specs=(pre_specs, dp),
+        check_vma=False,
+    )(input_mem, hp_mem, frames)
+
+
 def _two_phase_sharded(
     params, meta: ModelMeta, carry, frames, mesh: Mesh, axis_name: str = "dp"
 ):
-    """Two-phase engine on a multi-device mesh: the dense precompute is
-    GSPMD-sharded from its operand placements; the fused kernel runs per
-    shard via shard_map (see _fused_shardmap_jit)."""
-    from ..denoise import _precompute_jit
-
-    pre, hp_out = _precompute_jit(
-        carry.feat.input_mem, carry.feat.hp_mem, frames, False
+    """Two-phase engine on a multi-device mesh: BOTH phases contain Pallas
+    kernels, so both run per shard via shard_map (GSPMD cannot partition
+    pallas_call; see _precompute_shardmap_jit / _fused_shardmap_jit)."""
+    pre, hp_out = _precompute_shardmap_jit(
+        carry.feat.input_mem, carry.feat.hp_mem, frames, mesh, axis_name
     )
     interpret = jax.default_backend() == "cpu"
     carry2, out, vad = _fused_shardmap_jit(
