@@ -512,6 +512,64 @@ def _make_frame_kernel(acts: tuple, skip: tuple = (), fps: int = 1,
             perF[:, :] = per0[:, :]
             pgainF[:, :] = pgain0[:, :]
 
+        def bands(v):  # packed (.., 962) -> (.., 22)
+            return _mm(v, CORR2_ref[:, :])
+
+        def dct(v):  # (.., 22) -> (.., 22)
+            return _mm(v, DCT_ref[:, :]) * np.float32(DCT_SCALE)
+
+        # ---- batched lag-0 analysis for ALL fps frames of this grid step
+        #      (features.rs:119-125, 147-169).  The lag-0 block — windowed
+        #      DFT -> band energies -> floored log spectrum -> cepstrum ->
+        #      silence gate — has NO feedback from the sequential carries:
+        #      the input history at frame fi is a pure function of the
+        #      step-initial history and the streamed frames.  So it runs
+        #      ONCE per grid step on (fps*bk) stacked rows: one fps-times
+        #      larger MXU product, and a single pass through the 22-step
+        #      floor/follow chain (serialization-bound (bk, 1) column work)
+        #      instead of fps passes.  Bit-identical per row to the
+        #      per-frame form — same ops, bigger batch.
+        bk = filt_ref.shape[1]
+        if 'lag0' not in skip:
+            ext = jnp.concatenate(
+                [memF[:, :]] + [filt_ref[fi, :, :] for fi in range(fps)],
+                axis=1,
+            )  # (bk, 1728 + fps*480)
+            w_all = jnp.concatenate(
+                [
+                    ext[
+                        :,
+                        PITCH_BUF_SIZE - WINDOW_SIZE + (fi + 1) * FRAME_SIZE
+                        : PITCH_BUF_SIZE + (fi + 1) * FRAME_SIZE,
+                    ]
+                    for fi in range(fps)
+                ],
+                axis=0,
+            )  # (fps*bk, 960)
+            x_all = mm_F(prep(w_all))  # (fps*bk, 962)
+            ex_all = bands(x_all * x_all)
+            raw = jnp.log10(_F32(1e-2) + ex_all)
+            log_max = jnp.full_like(raw[:, :1], _F32(-2.0))
+            follow = jnp.full_like(raw[:, :1], _F32(-2.0))
+            cols = []
+            for i in range(nb):
+                v = jnp.maximum(
+                    jnp.maximum(raw[:, i : i + 1], log_max - _F32(7.0)),
+                    follow - _F32(1.5),
+                )
+                log_max = jnp.maximum(log_max, v)
+                follow = jnp.maximum(follow - _F32(1.5), v)
+                cols.append(v)
+            ly_all = jnp.concatenate(cols, axis=1)
+            sil_all = jnp.sum(ex_all, axis=1, keepdims=True) < _F32(0.04)
+            lanes22 = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+            ceps_off = jnp.where(
+                lanes22 == 0,
+                _F32(-12.0),
+                jnp.where(lanes22 == 1, _F32(-4.0), _F32(0.0)),
+            )
+            ceps_all = dct(ly_all) + ceps_off
+
         def one_frame(fi):
             filt = filt_ref[fi, :, :]  # (bk, 480)
             cand = cand_ref[fi, :, :]  # (bk, 105)
@@ -522,46 +580,18 @@ def _make_frame_kernel(acts: tuple, skip: tuple = (), fps: int = 1,
             mem = jnp.concatenate([memF[:, FRAME_SIZE:], filt], axis=1)
             memF[:, :] = mem
 
-            def bands(v):  # packed (bk, 962) -> (bk, 22)
-                return _mm(v, CORR2_ref[:, :])
-
-            def dct(v):  # (bk, 22) -> (bk, 22)
-                return _mm(v, DCT_ref[:, :]) * np.float32(DCT_SCALE)
-
-            # ---- lag-0 analysis: windowed DFT -> band energies -> floored
-            #      log spectrum -> cepstrum -> silence gate
-            #      (features.rs:119-125, 147-169) ---------------------------
+            # ---- lag-0 analysis: this frame's slice of the batched
+            #      per-step block above ------------------------------------
             if 'lag0' in skip:
                 x = jnp.concatenate([filt, filt, filt[:, :2]], axis=1)
                 ex = bands(x * x)
                 ceps = ex
                 sil = ex[:, :1] < _F32(0.0)
             else:
-                x = mm_F(prep(mem[:, PITCH_BUF_SIZE - WINDOW_SIZE :]))
-                ex = bands(x * x)
-                # floor/follow chain, sequential over the 22 bands
-                # (pipeline.log_spectrum semantics, features.rs:147-158)
-                raw = jnp.log10(_F32(1e-2) + ex)
-                log_max = jnp.full_like(raw[:, :1], _F32(-2.0))
-                follow = jnp.full_like(raw[:, :1], _F32(-2.0))
-                cols = []
-                for i in range(nb):
-                    v = jnp.maximum(
-                        jnp.maximum(raw[:, i : i + 1], log_max - _F32(7.0)),
-                        follow - _F32(1.5),
-                    )
-                    log_max = jnp.maximum(log_max, v)
-                    follow = jnp.maximum(follow - _F32(1.5), v)
-                    cols.append(v)
-                ly = jnp.concatenate(cols, axis=1)
-                sil = jnp.sum(ex, axis=1, keepdims=True) < _F32(0.04)
-                lanes22 = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
-                ceps_off = jnp.where(
-                    lanes22 == 0,
-                    _F32(-12.0),
-                    jnp.where(lanes22 == 1, _F32(-4.0), _F32(0.0)),
-                )
-                ceps = dct(ly) + ceps_off
+                x = x_all[fi * bk : (fi + 1) * bk]
+                ex = ex_all[fi * bk : (fi + 1) * bk]
+                sil = sil_all[fi * bk : (fi + 1) * bk]
+                ceps = ceps_all[fi * bk : (fi + 1) * bk]
 
             # ---- octave removal (carry-coupled half, pitch.rs:118-221) -------
             if 'rd' in skip:
