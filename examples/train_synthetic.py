@@ -224,6 +224,9 @@ def main(argv=None):
                          "(same process: recompiles are cheap)")
     ap.add_argument("--export", default=None,
                     help="also write the quantized model here")
+    ap.add_argument("--data-cache", default=None,
+                    help="npz path: load the training matrix from here if "
+                         "it exists, else save it after generating")
     args = ap.parse_args(argv)
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -251,12 +254,18 @@ def main(argv=None):
     from nnnoiseless_tpu.constants import NB_BANDS, NB_FEATURES
 
     t0 = time.time()
-    data = generate(
-        sig_paths, noise_paths, args.count, seed=args.seed,
-        workers=args.workers,
-        progress=lambda n: print(f"  {n}/{args.count}\r", end="", flush=True),
-    )
-    print(f"\ngenerated {data.shape} in {time.time()-t0:.1f}s")
+    if args.data_cache and os.path.exists(args.data_cache):
+        data = np.load(args.data_cache)["data"][: args.count]
+        print(f"loaded cached training matrix {data.shape} from {args.data_cache}")
+    else:
+        data = generate(
+            sig_paths, noise_paths, args.count, seed=args.seed,
+            workers=args.workers,
+            progress=lambda n: print(f"  {n}/{args.count}\r", end="", flush=True),
+        )
+        print(f"\ngenerated {data.shape} in {time.time()-t0:.1f}s")
+        if args.data_cache:
+            np.savez_compressed(args.data_cache, data=data)
 
     n_seq = len(data) // args.window
     data = data[: n_seq * args.window]

@@ -178,3 +178,20 @@ for stop in ("biquad", "fwin", "dswin", "full"):
     prev = tbest
 fn = prefix("oldchain")
 timeit("prefix<=oldchain (XLA pitch stack)", lambda: fn(imem, hpm, frames), B)
+
+# ---- 5. kernel stage bisection at 4096 --------------------------------------
+from nnnoiseless_tpu.ops.frame_kernel import run_fused_scan
+
+pre, hp = _precompute_jit(imem, hpm, frames, False)
+force(pre)
+base = None
+for skip in ((), ("lag0",), ("dft",), ("rd",), ("feat",), ("rnn",), ("inv",)):
+    tbest = timeit(
+        f"kernel skip={','.join(skip) or 'none'}",
+        lambda: run_fused_scan(model.params, model.meta, carry, pre, skip=skip),
+        B,
+    )
+    if not skip:
+        base = tbest
+    else:
+        print(f"   stage cost ~{1000*(base-tbest):+.1f} ms", flush=True)
