@@ -24,6 +24,36 @@ import numpy as np
 NORTH_STAR = 10_000.0  # aggregate real-time factor target at batch 4096
 
 
+def _wait_for_device(max_wait_s: float) -> bool:
+    """Probe device availability in a subprocess with a timeout.
+
+    When the axon TPU tunnel is down, ``jax.devices()`` hangs the calling
+    process forever (observed 2026-08-17: multi-hour outage); a hung bench
+    is worse than a failed one.  Probe in a throwaway subprocess (nothing
+    is compiled, so the first-compile penalty does not apply) and retry
+    until the deadline."""
+    import os
+    import subprocess
+
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+                timeout=150,
+                capture_output=True,
+                env=dict(os.environ),
+            )
+            if r.returncode == 0 and r.stdout.strip().isdigit():
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False
+        print("# device probe failed; retrying", file=sys.stderr, flush=True)
+        time.sleep(60)
+
+
 def bench_batch(model, batch: int, n_frames: int, iters: int = 3) -> float:
     """Returns frames/sec (aggregate over the batch)."""
     import jax.numpy as jnp
@@ -67,7 +97,19 @@ def main():
     )
     ap.add_argument("--frames", type=int, default=100)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument(
+        "--probe-wait", type=float,
+        default=float(__import__("os").environ.get("NNT_BENCH_PROBE_S", 900)),
+        help="max seconds to wait for the device backend to respond",
+    )
     args = ap.parse_args()
+
+    if not _wait_for_device(args.probe_wait):
+        print(json.dumps({"metric": "aggregate_realtime_factor", "value": 0.0,
+                          "unit": "x_realtime_48kHz_mono", "vs_baseline": 0.0,
+                          "error": "device backend unreachable "
+                                   f"(waited {args.probe_wait:.0f}s)"}))
+        return
 
     from nnnoiseless_tpu import RnnModel
 

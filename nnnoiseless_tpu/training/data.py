@@ -293,6 +293,7 @@ def generate(
     chunk: int = 512,
     progress=None,
     workers: int = 1,
+    timing: dict | None = None,
 ) -> np.ndarray:
     """Generate `count` rows of the 87-column training matrix.
 
@@ -304,7 +305,13 @@ def generate(
     trainer's 2000-frame sequence windows rely on (the reference generator
     is one continuous stream, src/training.rs:120-161; W worlds are W
     continuous streams).
+
+    ``timing``, if given, is filled with {"device_s", "host_s"} — wall
+    time spent in device dispatch + readback vs. the host-side noise
+    simulator (the reference generator is a native binary; the split
+    shows where a corpus-scale dump actually spends its time).
     """
+    import time as _time
     w = max(1, int(workers))
     per = -(-count // w)  # rows per world; the tail of the LAST world is cut
     sims = []
@@ -326,8 +333,10 @@ def generate(
     out = np.empty((w * per, width), np.float32)
 
     done = 0
+    dev_s = host_s = 0.0
     band = np.arange(NB_BANDS)[None, :]
     while done < per:
+        t_host = _time.perf_counter()
         n = min(chunk, per - done)
         # stream layout: [w0-clean, w0-noise, w0-comb, w1-clean, ...]
         frames = np.empty((w, 3, n, FRAME_SIZE), np.float32)
@@ -341,12 +350,15 @@ def generate(
                 frames[i, 2, t] = comb
                 cutoffs[i, t] = cutoff
                 vads[i, t] = vad
+        t_dev = _time.perf_counter()
+        host_s += t_dev - t_host
         states, feats, ex, sil = _feature_chunk(
             states, jnp.asarray(frames.reshape(3 * w, n, FRAME_SIZE))
         )
         feats = np.asarray(feats).reshape(w, 3, n, NB_FEATURES)
         ex = np.asarray(ex).reshape(w, 3, n, NB_BANDS)
         sil = np.asarray(sil).reshape(w, 3, n)
+        dev_s += _time.perf_counter() - t_dev
 
         clean_ex, noise_ex, comb_ex = ex[:, 0], ex[:, 1], ex[:, 2]
         cut = np.where(sil[:, 2], 0, cutoffs)[..., None]  # silence -> sentinel
@@ -363,6 +375,9 @@ def generate(
         done += n
         if progress:
             progress(done * w)
+    if timing is not None:
+        timing["device_s"] = dev_s
+        timing["host_s"] = host_s
     return out[:count]
 
 
