@@ -141,10 +141,10 @@ def precompute_chunk(
     odd0 = full[:, starts + 1].T  # (T, B) = w[1]
     x_lp_raw = x_lp_raw.at[..., 0].set((odd0 * _F32(0.5) + even0) * _F32(0.5))
 
-    import os
+    from . import flags
 
     flat = x_lp_raw.reshape(t * b, _DS_WIN)
-    if jax.default_backend() == "cpu" or os.environ.get("NNT_PITCH_KERNEL") == "0":
+    if jax.default_backend() == "cpu" or not flags.PITCH_KERNEL:
         x_lp = jax.vmap(whiten)(flat)
         # The fine-search correlation dot(x_lp[384:], x_lp[i:i+480]) IS
         # the octave-removal correlation at more lags: compute it ONCE for
@@ -167,9 +167,9 @@ def precompute_chunk(
         # the ENTIRE pitch stack — whiten, shared 385-lag correlation,
         # energy table, coarse/fine search and candidate tables — as ONE
         # parallel Pallas kernel; every intermediate stays in VMEM
-        # (ops/pitch_kernel.py).  NNT_PITCH_KERNEL=0 (read at trace time)
-        # falls back to the round-2 XLA chain above — the operational
-        # escape hatch if Mosaic regresses on this kernel.
+        # (ops/pitch_kernel.py).  NNT_PITCH_KERNEL=0 (captured at import,
+        # flags.py) falls back to the round-2 XLA chain above — the
+        # operational escape hatch if Mosaic regresses on this kernel.
         from .ops.pitch_kernel import pitch_analysis_pallas
 
         cand, _ = pitch_analysis_pallas(flat)

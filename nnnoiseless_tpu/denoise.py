@@ -73,13 +73,12 @@ def _fused_jit(params, meta: ModelMeta, carry, pre):
 
 
 def two_phase_available(meta: ModelMeta, frames) -> bool:
-    import os
-
+    from . import flags
     from .ops.frame_kernel import fused_scan_available
 
     return (
-        os.environ.get("NNT_FUSED", "1") != "0"
-        and os.environ.get("NNT_TWO_PHASE", "1") != "0"
+        flags.FUSED
+        and flags.TWO_PHASE
         and jax.default_backend() != "cpu"
         and frames.ndim == 3
         and fused_scan_available(meta, frames.shape[0])
@@ -118,15 +117,14 @@ def _scan_batch(params, meta: ModelMeta, carry, frames):
     Only the final carry's hp_mem matters for chunk handoff and is patched
     in afterwards.
     """
-    import os
-
+    from . import flags
     from .chunk import precompute_chunk
     from .ops.frame_kernel import fused_scan_available, run_fused_scan
     from .pipeline import frame_step_hoisted
 
     batch = frames.shape[0]
     use_fused = (
-        os.environ.get("NNT_FUSED", "1") != "0"
+        flags.FUSED
         and jax.default_backend() != "cpu"
         and fused_scan_available(meta, batch)
     )
@@ -264,13 +262,23 @@ def denoise_audio(
     audio,
     model: Optional[RnnModel] = None,
     drop_first_frame: bool = True,
+    chunk_frames: int = 1000,
 ) -> np.ndarray:
     """Convenience: denoise a full mono signal (n,) or batch (B, n).
 
-    Truncates the tail to whole frames (the reference CLI's behavior),
-    processes in one scan, and (by default) drops the first output frame
-    like the reference CLI/Signal adapters.  Returns the same leading
-    shape with length trimmed to whole frames.
+    Truncates the tail to whole frames (the reference CLI's behavior) and
+    (by default) drops the first output frame like the reference
+    CLI/Signal adapters.  Returns the same leading shape with length
+    trimmed to whole frames.
+
+    Long signals are processed in ``chunk_frames``-frame chunks with exact
+    carry handoff (chunking never changes the output — the engine state is
+    the complete inter-frame dependency, test_chunked_equals_oneshot):
+    peak device memory stays bounded (a 10-second window per stream
+    instead of the whole file; the reference streams frame-by-frame,
+    src/nnnoiseless.rs:307-330) and the last partial chunk reuses the
+    1000-frame program's shape only when it matches, so at most two
+    programs compile.
     """
     model = model if model is not None else RnnModel.default()
     audio = np.asarray(audio, np.float32)
@@ -281,8 +289,13 @@ def denoise_audio(
     t = n // FRAME_SIZE
     frames = audio[:, : t * FRAME_SIZE].reshape(b, t, FRAME_SIZE)
     carry = init_batch_carry(model.meta, b)
-    _, out, _ = process_frames(model, carry, frames)
-    out = np.asarray(out).reshape(b, t * FRAME_SIZE)
+    parts = []
+    for start in range(0, t, chunk_frames):
+        carry, out, _ = process_frames(
+            model, carry, frames[:, start : start + chunk_frames]
+        )
+        parts.append(np.asarray(out))
+    out = np.concatenate(parts, axis=1).reshape(b, t * FRAME_SIZE)
     if drop_first_frame:
         out = out[:, FRAME_SIZE:]
     return out[0] if squeeze else out

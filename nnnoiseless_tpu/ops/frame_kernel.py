@@ -535,18 +535,25 @@ def _make_frame_kernel(acts: tuple, skip: tuple = (), fps: int = 1,
                 [memF[:, :]] + [filt_ref[fi, :, :] for fi in range(fps)],
                 axis=1,
             )  # (bk, 1728 + fps*480)
-            w_all = jnp.concatenate(
+            # Per-frame windows have lane offsets 96/64/32/0/... (start =
+            # 768 + 480*fi mod 128); Mosaic cannot concatenate vectors with
+            # mismatched vpad layouts along dim 0 (verified on v5e: "
+            # tpu.concatenate" with in_layout {0,96}/{0,64}/... fails to
+            # lower).  So run the forward DFT per frame — identical MXU
+            # pass count, fps dots of (bk, 960) instead of one of
+            # (fps*bk, 960) — and concatenate the OUTPUTS, which are all
+            # canonical-layout matmul results.
+            x_all = jnp.concatenate(
                 [
-                    ext[
+                    mm_F(prep(ext[
                         :,
                         PITCH_BUF_SIZE - WINDOW_SIZE + (fi + 1) * FRAME_SIZE
                         : PITCH_BUF_SIZE + (fi + 1) * FRAME_SIZE,
-                    ]
+                    ]))
                     for fi in range(fps)
                 ],
                 axis=0,
-            )  # (fps*bk, 960)
-            x_all = mm_F(prep(w_all))  # (fps*bk, 962)
+            )  # (fps*bk, 962)
             ex_all = bands(x_all * x_all)
             raw = jnp.log10(_F32(1e-2) + ex_all)
             log_max = jnp.full_like(raw[:, :1], _F32(-2.0))
@@ -898,11 +905,10 @@ def run_fused_scan(params, meta, carry, pre, interpret: bool = False,
     filt = _pad_batch(pre.filtered, bp, 1)
     cand = _pad_batch(pre.cand, bp, 1)
     if fps is None:  # largest frames-per-step that divides the chunk
-        import os
+        from ..flags import FPS as want
 
         # fps=5 measured fastest at production shape (155.8 ms vs 167.5
         # at fps=4 and 161.5 at fps=10 for the 100-frame 4096-batch chunk)
-        want = int(os.environ.get("NNT_FPS", "5"))
         fps = next(f for f in (want, 5, 4, 2, 1) if f <= want and t % f == 0)
     weights = _flatten_params(params)
     packed_out, cf = frame_loop_pallas(

@@ -63,6 +63,31 @@ def _sharded_chunk_one(params, meta: ModelMeta, carry, frames):
     return _scan_batch(params, meta, carry, frames)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 4, 5), donate_argnums=(2,))
+def _scan_shardmap_jit(
+    params, meta: ModelMeta, carry, frames, mesh: Mesh, axis_name: str
+):
+    """The scan-path engine under ``shard_map`` over the dp axis.
+
+    On non-CPU backends ``_scan_batch``'s precompute still contains Pallas
+    kernels (the fused pitch-analysis kernel and candidates_pallas) even
+    when the frame-loop kernel is disabled (NNT_FUSED=0/NNT_TWO_PHASE=0),
+    and GSPMD cannot auto-partition ``pallas_call`` — so on a multi-device
+    mesh the whole program runs per shard, like the two-phase path."""
+    from ..denoise import _scan_batch
+
+    def local(p, c, fr):
+        return _scan_batch(p, meta, c, fr)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        check_vma=False,
+    )(params, carry, frames)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 4, 5, 6), donate_argnums=(3,))
 def _fused_shardmap_jit(
     params, meta: ModelMeta, carry, pre, mesh: Mesh, axis_name: str,
@@ -151,6 +176,14 @@ def _sharded_chunk(
         if mesh is not None and mesh.devices.size > 1:
             return _two_phase_sharded(params, meta, carry, frames, mesh, axis_name)
         return _two_phase_chunk(params, meta, carry, frames)
+    if (
+        mesh is not None
+        and mesh.devices.size > 1
+        and jax.default_backend() != "cpu"
+    ):
+        # escape-hatch path on a real multi-device mesh: the scan engine
+        # still contains Pallas kernels, so it must ride shard_map too
+        return _scan_shardmap_jit(params, meta, carry, frames, mesh, axis_name)
     return _sharded_chunk_one(params, meta, carry, frames)
 
 

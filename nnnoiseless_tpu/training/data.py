@@ -374,7 +374,9 @@ def generate(
             out[i * per + done : i * per + done + n] = rows[i]
         done += n
         if progress:
-            progress(done * w)
+            # per-world ceil rounding can overshoot the request by up to
+            # w-1 rows; clamp so the callback never exceeds ``count``
+            progress(min(done * w, count))
     if timing is not None:
         timing["device_s"] = dev_s
         timing["host_s"] = host_s

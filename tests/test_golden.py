@@ -65,6 +65,20 @@ def test_chunked_equals_oneshot(testing_raw, default_model):
     assert_waveform_close(chunked, one, cpu_atol=1.0)
 
 
+def test_internal_chunking_matches(testing_raw):
+    """denoise_audio's internal chunking (bounded memory for long files,
+    default 1000 frames) is exact: tiny chunks must reproduce the one-shot
+    output.  The reference streams frame-by-frame with the same state
+    handoff (src/nnnoiseless.rs:307-330)."""
+    n_frames = 20
+    sig = testing_raw[: n_frames * FRAME_SIZE]
+    one = denoise_audio(sig, drop_first_frame=False, chunk_frames=10_000)
+    small = denoise_audio(sig, drop_first_frame=False, chunk_frames=7)
+    from conftest import assert_waveform_close
+
+    assert_waveform_close(small, one, cpu_atol=1.0)
+
+
 def test_golden_through_fused_batch(testing_raw, reference_output, default_model):
     """The production batched engine (B=128 -> the compiled Pallas kernel
     on TPU) must itself pass the reference oracle, not just the B=1 path.
