@@ -99,7 +99,9 @@ def precompute_chunk(
     # The filtered signal with history: input_mem at frame t is
     # full[:, 480(t+1) : 480(t+1)+1728].
     full = jnp.concatenate([input_mem, filtered.reshape(b, t * FRAME_SIZE)], axis=1)
-    filtered_tm = _frame_windows(full, t, PITCH_BUF_SIZE, FRAME_SIZE, FRAME_SIZE)
+    # full[:, 1728 + t*480 : 1728 + (t+1)*480] IS filtered[:, t, :] — the
+    # time-major frame stack is a pure transpose, not a T-way slice copy.
+    filtered_tm = jnp.swapaxes(filtered, 0, 1)
 
     x = ex = silence = ceps = None
     if lag0:

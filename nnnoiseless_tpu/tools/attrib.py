@@ -1,17 +1,21 @@
-"""Round-3 precompute deep-dive, ONE TPU process.
+"""Engine attribution: parity + stage timing in ONE TPU process.
 
-1. golden parity through the production engine (E-sharing + fused pitch
-   Pallas kernel);
-2. pitch-decision agreement between the NEW pitch kernel and the old XLA
-   chain on the golden clip's real windows (flip count);
+The standing perf-truth tool (run each round; results go to
+docs/PERFORMANCE.md):
+
+1. golden parity through the production engine (fused pitch Pallas
+   kernel + fused frame kernel, the default path);
+2. pitch-decision agreement between the fused pitch kernel and the XLA
+   escape-hatch chain on the golden clip's real windows (flip count);
 3. two-phase totals at B=4096/1024;
-4. CUMULATIVE-PREFIX attribution of the new precompute (biquad -> frame
-   windows -> ds windows -> pitch kernel), plus the old XLA pitch chain
-   timed in the same process for the delta.
-"""
-import sys, time
+4. CUMULATIVE-PREFIX attribution of the precompute (biquad -> frame
+   windows -> ds windows -> pitch kernel), plus the XLA pitch chain
+   timed in the same process for the delta;
+5. fused-kernel stage bisection via the ``skip`` knob.
 
-sys.path.insert(0, "/root/repo")
+Run from the repo root:  python -m nnnoiseless_tpu.tools.attrib
+"""
+import time
 import numpy as np
 import jax, jax.numpy as jnp
 
@@ -147,7 +151,7 @@ def prefix(stop):
         full = jnp.concatenate(
             [input_mem, filtered.reshape(b, t * FRAME_SIZE)], axis=1
         )
-        filtered_tm = _frame_windows(full, t, PITCH_BUF_SIZE, FRAME_SIZE, FRAME_SIZE)
+        filtered_tm = jnp.swapaxes(filtered, 0, 1)  # matches chunk.py
         if stop == "fwin":
             return filtered_tm, hp_out
         even = full[:, 0::2]
