@@ -62,10 +62,31 @@ def _frame_windows(full: jnp.ndarray, t_count: int, offset: int, length: int,
                    stride: int) -> jnp.ndarray:
     """Stack per-frame windows full[:, offset + t*stride :][... : length].
 
-    Static slices + one stack, TIME-MAJOR: (B, L) -> (T, B, length) — the
-    layout both the frame scan and the fused kernel consume directly.
-    Chunk-level, so the copy cost is amortized over the whole scan.
+    TIME-MAJOR result: (B, L) -> (T, B, length) — the layout both the frame
+    scan and the fused kernel consume directly.
+
+    When ``offset`` is stride-aligned the stack is assembled from
+    ceil(length/stride) BLOCK-shifted views of one (nb, B, stride) reshape
+    instead of ``t_count`` per-frame slices: window t is blocks
+    [o+t, o+t+k) plus the head of block o+t+k, and ``blocks[o+i : o+i+T]``
+    for each i is a single slice of the transposed reshape.  Pure data
+    movement either way (bit-exact); the block form replaces a T-way
+    slice+stack (T copies through HBM) with k+1 slices and one concat —
+    the same trick that made the 480-sample frame stack a transpose.
     """
+    if offset % stride == 0:
+        o, k = offset // stride, length // stride
+        rem = length % stride
+        nb = o + t_count + k  # enough blocks for every window incl. the tail
+        b = full.shape[0]
+        pad = nb * stride - full.shape[1]
+        if pad > 0:
+            full = jnp.pad(full, ((0, 0), (0, pad)))
+        bl = jnp.swapaxes(full[:, : nb * stride].reshape(b, nb, stride), 0, 1)
+        parts = [bl[o + i : o + i + t_count] for i in range(k)]
+        if rem:
+            parts.append(bl[o + k : o + k + t_count, :, :rem])
+        return jnp.concatenate(parts, axis=-1)
     return jnp.stack(
         [full[:, offset + t * stride : offset + t * stride + length]
          for t in range(t_count)],

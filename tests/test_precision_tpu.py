@@ -63,7 +63,10 @@ def test_hoisted_biquad_vs_f64_oracle(batch):
     ).reshape(batch, t, FRAME_SIZE)
     err = np.abs(np.asarray(got, np.float64) - want).max()
     print(f"hoisted biquad max |err| vs f64 oracle at batch {batch}: {err:.3f}")
-    assert err <= 1.5, f"batch {batch}: max err {err} i16 units"
+    # Round-4 bar: the modal-basis closed-form carry (ops/biquad.py::
+    # _carry_prop_tables) measures 0.001 units at batch 1..4096 on v5e;
+    # the pre-modal forms measured 0.8-1.8.  0.05 locks the improvement in.
+    assert err <= 0.05, f"batch {batch}: max err {err} i16 units"
 
 
 def _fused_trace(model, frames) -> np.ndarray:
