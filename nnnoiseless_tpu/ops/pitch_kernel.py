@@ -100,11 +100,22 @@ def _packed_dft_bases(n: int, h_pad: int, n_lags: int, rows: int):
     return f32(fwd), f32(inv)
 
 
+_TAIL_PAD = 512  # tail lanes after slicing (480 nonzero -> 512 aligned)
+
+
 @functools.lru_cache(maxsize=1)
 def _pitch_consts():
-    """All constant operands, bf16 hi/lo split (0/1 matrices single-copy)."""
+    """All constant operands, bf16 hi/lo split (0/1 matrices single-copy).
+
+    The 480-tap correlation kernel (the left-aligned tail) is structurally
+    zero on lanes >= 480, so its forward DFT basis ``frt`` and the x4
+    decimation selector only keep the first 512 (lane-aligned) rows and
+    the kernel slices the tail to 512 lanes before contracting — exact
+    (the dropped rows multiply zeros) and 41% less contraction work on
+    that DFT than the full 864-row basis ``fry`` the y side needs."""
     # 385-lag correlation DFTs (n = 864)
-    fr, ic = _packed_dft_bases(_N_DFT, _H_PAD, _N_LAGS, rows=_N_DS)
+    fry, ic = _packed_dft_bases(_N_DFT, _H_PAD, _N_LAGS, rows=_N_DS)
+    frt = np.ascontiguousarray(fry[:_TAIL_PAD])
     # coarse DFTs (n = 388): y side reads 387 rows, x side 240 (padded 256)
     fr4, ic4 = _packed_dft_bases(_N_DFT4, _H4_PAD, _N_COARSE, rows=_YLEN4)
     fr4x = np.zeros((_X4_PAD, 2 * _H4_PAD), np.float32)
@@ -121,10 +132,10 @@ def _pitch_consts():
     # decimation selectors (0/1: exact in bf16)
     d_y4 = np.zeros((_N_DS, _YLEN4), np.float32)  # y_lp4[j] = y[2j]
     d_y4[2 * np.arange(_YLEN4), np.arange(_YLEN4)] = 1.0
-    d_x4 = np.zeros((_N_DS, _X4_PAD), np.float32)  # x_lp4[j] = y[384 + 2j]
-    d_x4[PITCH_MAX_DS + 2 * np.arange(_LEN4), np.arange(_LEN4)] = 1.0
+    d_x4 = np.zeros((_TAIL_PAD, _X4_PAD), np.float32)  # x_lp4[j] = tail[2j]
+    d_x4[2 * np.arange(_LEN4), np.arange(_LEN4)] = 1.0
 
-    return fr, ic, fr4, fr4x, ic4, w_e, w4, d_y4, d_x4
+    return frt, fry, ic, fr4, fr4x, ic4, w_e, w4, d_y4, d_x4
 
 
 @functools.lru_cache(maxsize=2)
@@ -137,13 +148,13 @@ def _pitch_operands(mxu3: bool):
 
     NUMPY arrays only — this cache outlives jit traces, and a jnp array
     created inside a trace is a leaked tracer."""
-    fr, ic, fr4, fr4x, ic4, w_e, w4, d_y4, d_x4 = _pitch_consts()
+    frt, fry, ic, fr4, fr4x, ic4, w_e, w4, d_y4, d_x4 = _pitch_consts()
     if not mxu3:
-        return (fr, ic, fr4, fr4x, ic4, w_e, w4, d_y4, d_x4)
+        return (frt, fry, ic, fr4, fr4x, ic4, w_e, w4, d_y4, d_x4)
     bf = lambda m: np.asarray(m).astype(_BF16)
     return (
-        _split_hi_lo(fr) + _split_hi_lo(ic) + _split_hi_lo(fr4)
-        + _split_hi_lo(fr4x) + _split_hi_lo(ic4)
+        _split_hi_lo(frt) + _split_hi_lo(fry) + _split_hi_lo(ic)
+        + _split_hi_lo(fr4) + _split_hi_lo(fr4x) + _split_hi_lo(ic4)
         + (bf(w_e), bf(w4), bf(d_y4), bf(d_x4))
     )
 
@@ -298,12 +309,13 @@ def _make_pitch_kernel(mxu3: bool):
     def kernel(x_ref, *refs):
         if mxu3:
             (
-                fr_hi, fr_lo, ic_hi, ic_lo, fr4_hi, fr4_lo, fr4x_hi,
-                fr4x_lo, ic4_hi, ic4_lo, w_e_ref, w4_ref, d_y4_ref,
-                d_x4_ref, cand_ref, pidx_ref,
+                frt_hi, frt_lo, fry_hi, fry_lo, ic_hi, ic_lo, fr4_hi,
+                fr4_lo, fr4x_hi, fr4x_lo, ic4_hi, ic4_lo, w_e_ref, w4_ref,
+                d_y4_ref, d_x4_ref, cand_ref, pidx_ref,
             ) = refs
             consts = {
-                "fr": (fr_hi[:, :], fr_lo[:, :]),
+                "frt": (frt_hi[:, :], frt_lo[:, :]),
+                "fry": (fry_hi[:, :], fry_lo[:, :]),
                 "ic": (ic_hi[:, :], ic_lo[:, :]),
                 "fr4": (fr4_hi[:, :], fr4_lo[:, :]),
                 "fr4x": (fr4x_hi[:, :], fr4x_lo[:, :]),
@@ -313,13 +325,13 @@ def _make_pitch_kernel(mxu3: bool):
             mm01 = _mm_exact01
         else:
             (
-                fr_ref, ic_ref, fr4_ref, fr4x_ref, ic4_ref,
+                frt_ref, fry_ref, ic_ref, fr4_ref, fr4x_ref, ic4_ref,
                 w_e_ref, w4_ref, d_y4_ref, d_x4_ref,
                 cand_ref, pidx_ref,
             ) = refs
             consts = {
-                "fr": fr_ref, "ic": ic_ref, "fr4": fr4_ref,
-                "fr4x": fr4x_ref, "ic4": ic4_ref,
+                "frt": frt_ref, "fry": fry_ref, "ic": ic_ref,
+                "fr4": fr4_ref, "fr4x": fr4x_ref, "ic4": ic4_ref,
             }
             mm = lambda x, k: jnp.dot(
                 x, consts[k][:, :], preferred_element_type=_F32
@@ -339,8 +351,9 @@ def _make_pitch_kernel(mxu3: bool):
             pltpu.roll(y, _N_DS - PITCH_MAX_DS, axis=1),
             _F32(0.0),
         )  # y[384:864] left-aligned, zero-padded (cyclic-right roll)
-        xk = mm(tail, "fr")  # (bk, 1024)
-        yk = mm(y, "fr")
+        tail = tail[:, :_TAIL_PAD]  # lanes >= 480 are zero; 512-aligned
+        xk = mm(tail, "frt")  # (bk, 1024)
+        yk = mm(y, "fry")
         xr, xi = xk[:, :_H_PAD], xk[:, _H_PAD:]
         yr, yi = yk[:, :_H_PAD], yk[:, _H_PAD:]
         prod = jnp.concatenate(
@@ -350,7 +363,7 @@ def _make_pitch_kernel(mxu3: bool):
 
         # coarse stage on 4x-decimated views (exact 0/1 selectors)
         y4 = mm01(y, d_y4_ref[:, :])  # (bk, 387) = y[0::2][:387]
-        x4 = mm01(y, d_x4_ref[:, :])  # (bk, 256) = y[384::2][:240]
+        x4 = mm01(tail, d_x4_ref[:, :])  # (bk, 256) = y[384::2][:240]
         x4k = mm(x4, "fr4x")
         y4k = mm(y4, "fr4")
         x4r, x4i = x4k[:, :_H4_PAD], x4k[:, _H4_PAD:]
@@ -398,8 +411,8 @@ def _make_pitch_kernel(mxu3: bool):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def pitch_analysis_pallas(x_lp_raw, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "block"))
+def pitch_analysis_pallas(x_lp_raw, interpret: bool = False, block: int = 128):
     """(R, 864) raw 2x-downsampled windows -> ((R, 105) candidate lanes,
     (R,) i32 pitch_idx).
 
@@ -408,9 +421,8 @@ def pitch_analysis_pallas(x_lp_raw, interpret: bool = False):
     pass.  Rows are padded to a block multiple; pad rows compute on
     zeros and are sliced away."""
     r = x_lp_raw.shape[0]
-    # bk=128: the DFT bases + per-block intermediates total ~13 MB VMEM;
-    # 256-row blocks overflow the ~16 MB budget.
-    block = 128
+    # bk=128 default: the DFT bases + per-block intermediates total ~13 MB
+    # VMEM; 256-row blocks overflow the ~16 MB budget.
     rp = -(-r // block) * block
     if rp != r:
         x_lp_raw = jnp.pad(x_lp_raw, ((0, rp - r), (0, 0)))
