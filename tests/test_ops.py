@@ -245,6 +245,53 @@ def test_find_best_pitch_all_nonpositive():
     assert int(best) == 0 and int(second) == 1
 
 
+def test_biquad_frames_modal_carry_vs_f64_oracle():
+    """The chunk-hoisted biquad's modal-basis closed-form carry
+    (ops/biquad._carry_prop_tables) must track a sequential f64 oracle
+    tightly on CPU — the pre-modal forms lost ~5 i16 units at high
+    amplitude from Q's non-normal (+-144-entry) powers, invisible to
+    scan-comparison tests because both forms wobbled together.  Also
+    covers random training-augmentation-style coefficients (real and
+    complex pole pairs) and the carry handoff across chunks."""
+    from nnnoiseless_tpu.ops.biquad import biquad_filter_frames
+    from nnnoiseless_tpu.tables import BIQUAD_HP_A, BIQUAD_HP_B
+
+    def oracle(x, m, a, b):
+        y = np.empty_like(x, np.float64)
+        m0, m1 = np.float64(m[0]), np.float64(m[1])
+        for i, xn in enumerate(x.astype(np.float64)):
+            yv = xn + m0
+            m0, m1 = m1 + (b[0] * xn - a[0] * yv), b[1] * xn - a[1] * yv
+            y[i] = yv
+        return y, np.array([m0, m1])
+
+    rng = np.random.RandomState(11)
+    hp_a = tuple(float(v) for v in BIQUAD_HP_A)
+    hp_b = tuple(float(v) for v in BIQUAD_HP_B)
+    # high-amplitude stress: the HP filter, 100 frames, carry handoff
+    x = (rng.randn(2, 100, 480) * 20000).astype(np.float32)
+    m = (rng.randn(2, 2) * 10).astype(np.float32)
+    got, gmem = jax.jit(
+        lambda fr, mm: biquad_filter_frames(fr, mm, hp_a, hp_b)
+    )(jnp.asarray(x), jnp.asarray(m))
+    for i in range(2):
+        want, wmem = oracle(x[i].reshape(-1), m[i], hp_a, hp_b)
+        err = np.abs(np.asarray(got[i], np.float64).reshape(-1) - want).max()
+        assert err <= 0.05, f"stream {i}: max err {err} i16 units"
+        assert np.abs(np.asarray(gmem[i], np.float64) - wmem).max() <= 0.05
+    # random biquads in the training-augmentation coefficient range
+    for trial in range(4):
+        c = rng.uniform(-0.375, 0.375, 4)
+        aa, bb = (float(c[0]), float(c[1])), (float(c[2]), float(c[3]))
+        xr = (rng.randn(1, 10, 480) * 3000).astype(np.float32)
+        yr, _ = jax.jit(
+            lambda fr, mm: biquad_filter_frames(fr, mm, aa, bb)
+        )(jnp.asarray(xr), jnp.zeros((1, 2), jnp.float32))
+        want, _ = oracle(xr[0].reshape(-1), np.zeros(2), aa, bb)
+        err = np.abs(np.asarray(yr, np.float64).reshape(-1) - want).max()
+        assert err <= 0.05, f"random biquad {trial}: max err {err}"
+
+
 def test_biquad_dense_matches_scan():
     """The unrolled-matmul biquad must match the sequential scan closely,
     including the carry handoff across chunks."""
