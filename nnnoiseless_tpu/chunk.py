@@ -81,6 +81,15 @@ def _frame_windows(full: jnp.ndarray, t_count: int, offset: int, length: int,
         b = full.shape[0]
         pad = nb * stride - full.shape[1]
         if pad > 0:
+            # The pad may only cover the block-alignment tail BEYOND the
+            # last window — an under-length signal must fail loudly (as the
+            # slice+stack path below would), not get zero-filled tails.
+            need = offset + (t_count - 1) * stride + length
+            if need > full.shape[1]:
+                raise ValueError(
+                    f"signal too short for {t_count} windows: need {need} "
+                    f"samples, have {full.shape[1]}"
+                )
             full = jnp.pad(full, ((0, 0), (0, pad)))
         bl = jnp.swapaxes(full[:, : nb * stride].reshape(b, nb, stride), 0, 1)
         parts = [bl[o + i : o + i + t_count] for i in range(k)]

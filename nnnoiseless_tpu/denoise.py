@@ -192,33 +192,65 @@ class DenoiseState:
 
     As with the reference, the first output frame contains fade-in artifacts
     and is usually discarded.
+
+    ``engine`` selects the backend (the latency ladder, docs/PERFORMANCE.md):
+
+    * ``"tpu"`` (default) — the batched JAX/XLA engine.  Every device
+      dispatch carries a fixed ~27-45 ms cost through the tunnel, so
+      per-frame calls run at ~26x realtime aggregate and CANNOT meet the
+      reference's 10 ms live-stream deadline (src/denoise.rs:87-90); use
+      :meth:`process_chunk` / :class:`StreamBatch` to amortize.
+    * ``"native"`` — the in-process C++ engine (native/denoise_engine.cc):
+      no device round-trip, ~62x realtime single-core, so
+      :meth:`process_frame` returns in well under the 10 ms frame period —
+      the real-time path for one live stream, exactly the reference's
+      design point.
     """
 
     FRAME_SIZE = FRAME_SIZE
 
-    def __init__(self, model: Optional[RnnModel] = None):
+    def __init__(self, model: Optional[RnnModel] = None, engine: str = "tpu"):
+        if engine not in ("tpu", "native"):
+            raise ValueError(f"engine must be 'tpu' or 'native', got {engine!r}")
+        self.engine = engine
         self.model = model if model is not None else RnnModel.default()
-        self.carry = init_carry(self.model.meta)
+        if engine == "native":
+            from .native import NativeDenoiseState, NativeModel
+
+            # The native library ships the default weights; only a custom
+            # model needs the (lossless) .rnn round-trip into the parser.
+            self._nmodel = (
+                NativeModel(self.model.to_bytes()) if model is not None else None
+            )
+            self._nstate = NativeDenoiseState(self._nmodel)
+            self.carry = None
+        else:
+            self.carry = init_carry(self.model.meta)
 
     # Constructor aliases mirroring the reference's new/from_model/with_model
     # (ownership distinctions don't exist in Python; all three share the model).
     @classmethod
-    def new(cls) -> "DenoiseState":
-        return cls()
+    def new(cls, engine: str = "tpu") -> "DenoiseState":
+        return cls(engine=engine)
 
     @classmethod
-    def from_model(cls, model: RnnModel) -> "DenoiseState":
-        return cls(model)
+    def from_model(cls, model: RnnModel, engine: str = "tpu") -> "DenoiseState":
+        return cls(model, engine=engine)
 
     @classmethod
-    def with_model(cls, model: RnnModel) -> "DenoiseState":
-        return cls(model)
+    def with_model(cls, model: RnnModel, engine: str = "tpu") -> "DenoiseState":
+        return cls(model, engine=engine)
 
     def reset(self) -> None:
-        self.carry = init_carry(self.model.meta)
+        if self.engine == "native":
+            self._nstate.reset()
+        else:
+            self.carry = init_carry(self.model.meta)
 
     def process_frame(self, frame) -> tuple[np.ndarray, float]:
         """Denoise one 480-sample frame; returns (output, vad_probability)."""
+        if self.engine == "native":
+            return self._nstate.process_frame(frame)
         frame = jnp.asarray(frame, jnp.float32)
         if frame.shape != (FRAME_SIZE,):
             raise ValueError(f"expected frame of shape ({FRAME_SIZE},)")
@@ -228,7 +260,12 @@ class DenoiseState:
         return np.asarray(out), float(vad)
 
     def process_chunk(self, frames) -> tuple[np.ndarray, np.ndarray]:
-        """Denoise (T, 480) frames in one device call; returns (out, vad)."""
+        """Denoise (T, 480) frames in one engine call; returns (out, vad)."""
+        if self.engine == "native":
+            frames = np.ascontiguousarray(frames, np.float32)
+            if frames.ndim != 2 or frames.shape[1] != FRAME_SIZE:
+                raise ValueError(f"expected frames of shape (T, {FRAME_SIZE})")
+            return self._nstate.process_frames(frames)
         self.carry, out, vad = process_frames(self.model, self.carry, frames)
         return np.asarray(out), np.asarray(vad)
 

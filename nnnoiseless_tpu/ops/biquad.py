@@ -149,12 +149,23 @@ def _carry_prop_tables(a0, a1, b0, b1, n, t_count):
         v = V[:, 0]
         Tm = np.stack([v.real, v.imag], axis=1)
     else:
-        Vr = V.real
-        Tm = Vr if abs(np.linalg.det(Vr)) > 1e-6 else np.eye(2)
+        Tm = V.real
+    # A near-defective eigenbasis puts ~cond(Tm)-scale entries into the f32
+    # Tinv/Pp tables, reintroducing the cancellation the modal basis is
+    # meant to remove; gate on the condition number (not the determinant —
+    # a det just above any threshold can still mean ~1e6-entry tables) and
+    # fall back to the identity, which is always correct (G = Q exactly).
+    if not np.all(np.isfinite(Tm)) or np.linalg.cond(Tm) > 1e3:
+        Tm = np.eye(2)
     Tinv = np.linalg.inv(Tm)
     G = Tinv @ Q @ Tm
-    # sanity: the modal form must reproduce Q (defective fallback is I)
-    assert np.allclose(Tm @ G @ Tinv, Q, atol=1e-8 * max(1.0, abs(Q).max()))
+    # The modal form must reproduce Q; if it does not (ill-conditioned
+    # eigendecomposition), keep correctness over conditioning.  Not an
+    # ``assert`` — that would be stripped under ``python -O`` and pass an
+    # unvalidated basis into the f32 tables.
+    if not np.allclose(Tm @ G @ Tinv, Q, atol=1e-8 * max(1.0, abs(Q).max())):
+        Tm = Tinv = np.eye(2)
+        G = Q
     gpow = np.empty((t_count + 1, 2, 2))
     gpow[0] = np.eye(2)
     for j in range(1, t_count + 1):

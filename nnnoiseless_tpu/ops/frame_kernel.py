@@ -181,13 +181,17 @@ def _tansig_g(x, tab2d):
     """tansig_approx on (bk, n) — ops/activations.py semantics (same index
     grid, cubic correction, clamps, NaN -> 1).
 
-    The table entry tab[i] = f32(tanh(0.04 i)) is recomputed as
-    tanh(0.04 i) on the VPU instead of gathered: a per-element 201-way
-    lookup costs ~200 loop iterations (fori) or a (bk, n, 201) one-hot —
-    both measured dominant — while the recomputation differs from the
-    stored table only at the ~1-ulp level of tanh itself, orders of
-    magnitude inside every parity bar (the *approximation*, which parity
-    does require, is unchanged).  ``tab2d`` is kept for signature parity.
+    The table entry is recomputed as tanh(0.04 i) on the VPU instead of
+    gathered: a per-element 201-way lookup costs ~200 loop iterations
+    (fori) or a (bk, n, 201) one-hot — both measured dominant.  The
+    recomputation deviates from the stored table by up to 3.4e-5 ABSOLUTE
+    measured on TPU (tests/test_precision_tpu.py::
+    test_kernel_tansig_table_delta): the backend's reduced-precision tanh
+    approximation dominates; the table's 6-decimal rounding
+    (tables.py::_build_tansig_table) contributes only ~5e-7.  The
+    deviation is invisible end-to-end (hardware golden 4.9e-08 rel, ≤1
+    i16 unit per sample); the cubic *approximation*, which parity does
+    require, is unchanged.  ``tab2d`` is kept for signature parity.
     """
     del tab2d
     sign = jnp.where(x < 0.0, _F32(-1.0), _F32(1.0))

@@ -21,6 +21,24 @@ from .model import RnnModel
 Sample = Union[float, Sequence[float]]
 
 
+class _NativeChannelBatch:
+    """StreamBatch-shaped facade over per-channel native engine states."""
+
+    def __init__(self, channels: int, model: Optional[RnnModel]):
+        from .native import NativeDenoiseState, NativeModel
+
+        nmodel = NativeModel(model.to_bytes()) if model is not None else None
+        self._nmodel = nmodel  # states borrow the model; keep it alive
+        self._states = [NativeDenoiseState(nmodel) for _ in range(channels)]
+
+    def process(self, frames: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        out = np.empty_like(frames)
+        vad = np.empty(frames.shape[:2], np.float32)
+        for c, st in enumerate(self._states):
+            out[c], vad[c] = st.process_frames(np.ascontiguousarray(frames[c]))
+        return out, vad
+
+
 class DenoiseSignal:
     """Iterator adapter: ``for sample in DenoiseSignal(samples): ...``
 
@@ -32,6 +50,11 @@ class DenoiseSignal:
     tunnel, docs/PERFORMANCE.md), so real-time streaming requires
     amortizing >= ~50 frames per dispatch.  Set ``latency_frames=1`` for
     reference-equivalent minimum latency.
+
+    ``engine="native"`` routes through the in-process C++ engine instead:
+    no device dispatch, so ``latency_frames=1`` is genuinely real-time
+    (<10 ms per frame, the reference's design point) — use it for live
+    single streams; keep the TPU engine for throughput.
     """
 
     def __init__(
@@ -40,9 +63,12 @@ class DenoiseSignal:
         model: Optional[RnnModel] = None,
         channels: Optional[int] = None,
         latency_frames: int = 50,
+        engine: str = "tpu",
     ):
         if latency_frames < 1:
             raise ValueError("latency_frames must be >= 1")
+        if engine not in ("tpu", "native"):
+            raise ValueError(f"engine must be 'tpu' or 'native', got {engine!r}")
         self._source = iter(source)
         self._first = next(self._source, None)
         if self._first is None:
@@ -53,7 +79,10 @@ class DenoiseSignal:
             self._channels = len(self._first)
         if channels is not None and channels != self._channels:
             raise ValueError("explicit channels disagrees with source frames")
-        self._batch = StreamBatch(self._channels, model)
+        if engine == "native":
+            self._batch = _NativeChannelBatch(self._channels, model)
+        else:
+            self._batch = StreamBatch(self._channels, model)
         self._scalar = self._channels == 1 and (
             self._first is None
             or isinstance(self._first, (int, float, np.floating, np.integer))

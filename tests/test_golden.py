@@ -30,12 +30,13 @@ def test_compare_to_reference(testing_raw, reference_output):
 def test_per_sample_parity(testing_raw, reference_output):
     """BASELINE.md north star: per-sample output within 1e-4 of the Rust
     reference.  In the i16 domain 1e-4 of full scale is 3.27 units; the
-    measured max deviation is 2 units (CPU and TPU)."""
+    measured max deviation is 1 unit on hardware (round 4: modal-basis
+    biquad carry + sliced-tail pitch basis), 2 on CPU."""
     out = denoise_audio(testing_raw, drop_first_frame=True)
     o = out.astype(np.int16).astype(np.int32)
     delta = np.abs(reference_output.astype(np.int32) - o)
     print(f"max per-sample |delta|: {delta.max()} i16 units")
-    assert delta.max() <= 3
+    assert delta.max() <= 2
 
 
 def test_chunked_equals_oneshot(testing_raw, default_model):
@@ -107,4 +108,5 @@ def test_golden_through_fused_batch(testing_raw, reference_output, default_model
     got_i = np.clip(np.rint(got), -32768, 32767)
     rel = np.sum((want - got_i) ** 2) / np.sum(got_i**2)
     assert rel < 1e-4, f"fused-batch golden rel err {rel}"
-    assert np.abs(want - got_i).max() <= 3.0
+    # round-4 hardware envelope: 4.9e-08 rel / 1 unit; bar at 2 for slack
+    assert np.abs(want - got_i).max() <= 2.0

@@ -100,6 +100,65 @@ def test_c_demo_byte_identical_to_python_binding(native, tmp_path, testing_raw):
     np.testing.assert_array_equal(got_c, got_py)
 
 
+def test_library_api_native_engine(native, testing_raw, reference_output):
+    """engine="native" on the library API (VERDICT r4 item 3): DenoiseState
+    routes through the in-process C++ engine and still passes the golden
+    oracle; the reference's design point (src/denoise.rs:87-90) is one live
+    stream via exactly this API."""
+    from nnnoiseless_tpu import DenoiseState
+
+    st = DenoiseState(engine="native")
+    t = len(testing_raw) // FRAME_SIZE
+    out, vad = st.process_chunk(testing_raw[: t * FRAME_SIZE].reshape(t, FRAME_SIZE))
+    assert vad.shape == (t,)
+    oi = out.reshape(-1)[FRAME_SIZE:].astype(np.int16)
+    xx = np.sum(oi.astype(np.float64) ** 2)
+    diff = np.sum((reference_output.astype(np.float64) - oi) ** 2)
+    assert diff / xx < 1e-4
+
+    # reset + per-frame path give the same stream
+    st.reset()
+    a0, v0 = st.process_frame(testing_raw[:FRAME_SIZE])
+    np.testing.assert_array_equal(a0, out[0])
+
+
+def test_native_process_frame_meets_deadline(native):
+    """The real-time bar: a 480-sample frame is 10 ms of audio
+    (src/denoise.rs:87-90); the native per-frame path must beat it with
+    room to spare.  Median over 200 frames to reject scheduler noise."""
+    import time
+
+    from nnnoiseless_tpu import DenoiseState
+
+    st = DenoiseState(engine="native")
+    rng = np.random.RandomState(0)
+    frames = (rng.randn(200, FRAME_SIZE) * 3000).astype(np.float32)
+    st.process_frame(frames[0])  # warm (page-in, caches)
+    times = []
+    for f in frames:
+        t0 = time.perf_counter()
+        st.process_frame(f)
+        times.append(time.perf_counter() - t0)
+    med = sorted(times)[len(times) // 2]
+    print(f"native process_frame median {med*1e3:.3f} ms / 10 ms budget")
+    assert med < 0.005, f"median frame time {med*1e3:.2f} ms >= half the deadline"
+
+
+def test_signal_adapter_native_engine(native, testing_raw):
+    """DenoiseSignal(engine="native", latency_frames=1) — the genuinely
+    real-time streaming config — matches the TPU-engine adapter."""
+    from nnnoiseless_tpu.signal import DenoiseSignal
+
+    sig = testing_raw[: 12 * FRAME_SIZE] / 32768.0
+    got_n = np.fromiter(
+        DenoiseSignal(iter(sig.tolist()), engine="native", latency_frames=1),
+        np.float32,
+    )
+    got_t = np.fromiter(DenoiseSignal(iter(sig.tolist())), np.float32)
+    assert got_n.shape == got_t.shape == (11 * FRAME_SIZE,)
+    assert np.abs(got_n - got_t).max() < 2e-4  # two independent engines
+
+
 def test_custom_model_cross_engine(native, testing_raw):
     """JAX and native engines agree on a *non-default* model too."""
     from conftest import DATA_DIR
