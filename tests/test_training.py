@@ -102,6 +102,45 @@ def test_data_generator_parallel_worlds(corpus):
     np.testing.assert_allclose(data[:30], solo, atol=1e-4, rtol=1e-4)
 
 
+def test_next_frames_bit_identical_to_scalar_path(corpus):
+    """The vectorized simulator batch (segment-wise biquads, bulk reads)
+    must reproduce the per-frame path BIT FOR BIT — same shared-RNG draw
+    order, same f32 recurrences — across randomization boundaries
+    (GAIN_CHANGE_COUNT is deliberately spanned via monkeypatched spacing)."""
+    import nnnoiseless_tpu.training.data as D
+
+    paths_s = [str(corpus / "sig1.wav"), str(corpus / "sig2.wav")]
+    paths_n = [str(corpus / "noise1.wav"), str(corpus / "noise2.wav")]
+
+    def make_sim(seed):
+        rng = np.random.RandomState(seed)
+        return D.NoiseSimulator(
+            D.SignalReader(paths_s, 600, rng),
+            D.SignalReader(paths_n, 600, rng),
+            rng,
+        )
+
+    old = D.GAIN_CHANGE_COUNT
+    D.GAIN_CHANGE_COUNT = 37  # force several segment boundaries per batch
+    try:
+        a, b = make_sim(7), make_sim(7)
+        for n in (1, 36, 37, 38, 200):
+            want = [b.next_frame() for _ in range(n)]
+            sig, noise, comb, cut, vad = a.next_frames(n)
+            for t in range(n):
+                np.testing.assert_array_equal(sig[t], want[t][0])
+                np.testing.assert_array_equal(noise[t], want[t][1])
+                np.testing.assert_array_equal(comb[t], want[t][2])
+                assert cut[t] == want[t][3]
+                assert vad[t] == want[t][4]
+        # filter memories and RNG stay in lockstep too
+        np.testing.assert_array_equal(a.sig_mem, b.sig_mem)
+        np.testing.assert_array_equal(a.noise_mem, b.noise_mem)
+        assert a.rng.randint(1 << 30) == b.rng.randint(1 << 30)
+    finally:
+        D.GAIN_CHANGE_COUNT = old
+
+
 def test_fit_and_export_roundtrip(corpus):
     """A few SGD steps reduce the loss; the export loads and denoises."""
     from nnnoiseless_tpu import RnnModel, denoise_audio
