@@ -15,11 +15,13 @@ leave the chip.
 Numerics: every matmul runs in the 3-pass bf16 class (hi/lo splits,
 frame_kernel._mm3) the XLA path is parity-validated at; the banded
 window-energy matrix and the decimation selectors are 0/1-valued — exact
-in bf16 — so those products need only the 2-pass operand split.  The DFT
-half-spectrum (433 bins at n=864) is padded to 512 lanes so the re/im
-split lands on a 128-lane boundary (misaligned lane splits relayout);
-padded bins are zero columns through the forward bases and zero rows
-through the inverse, contributing exact zeros.
+in bf16 — so those products need only the 2-pass operand split.  The
+385-lag correlation DFT runs at n = 1024 = 8 x 128 through a
+contiguous-block Cooley-Tukey factorization (_ct_dft_bases): a radix-8
+VPU combine of lane-aligned 128-slices, five (128, 128) folded-twiddle
+basis matmuls per side, and a scrambled-bin-order inverse — ~6x fewer
+basis FLOPs than the round-4 dense 864-row bases at the same precision
+class, with the bin permutation absorbed into the inverse table.
 
 Reduction orders inside a block (row sums for autocorrelation, the
 whitening FIR chain) differ from the XLA path at f32 ulp level; lag
@@ -57,12 +59,70 @@ _N_FINE = MAX_PITCH // 2  # 294 fine-search lags
 _N_COARSE = MAX_PITCH // 4  # 147 coarse lags
 _LEN4 = PITCH_FRAME_DS // 2  # 240: coarse kernel length
 _YLEN4 = _LEN4 + _N_COARSE  # 387: coarse y length
-_N_DFT = _N_DS  # 864-point DFT for the 385-lag correlation
-_H_PAD = 512  # padded half-spectrum (433 -> 512, aligned)
 _N_DFT4 = 388  # coarse DFT size (240 + 147 - 1 -> even)
 _H4_PAD = 256  # padded coarse half-spectrum (195 -> 256)
 _X4_PAD = 256  # x_lp4 lanes (240 -> 256)
 _NEG = np.float32(-3.0e38)  # -inf stand-in (Mosaic-safe)
+
+# --- Cooley-Tukey geometry for the 385-lag correlation DFT ------------------
+# The linear correlation needs any n >= 480 + 385 - 1 = 864; n = 1024 = 8*128
+# makes every CT block a CONTIGUOUS, lane-ALIGNED 128-slice (decimation in
+# frequency, n = a + 128 b), so the factorization costs no permutation at
+# all inside the kernel: a radix-8 combine of the 128-lane blocks on the VPU
+# (coefficients in {0, +-1, +-sqrt(2)/2}), then one (128, 128) basis matmul
+# per spectral phase r with the twiddle e^{-2 pi i r a / 1024} folded into
+# the basis.  Real input needs only phases r = 0..4 (conjugate symmetry
+# covers 5..7).  Bins come out in the scrambled order k = 8 m + r, which
+# NEVER needs normalizing: the conj(X)*Y product is elementwise and the
+# inverse basis rows are permuted to match at table-build time.
+_CT_NA = 128  # lanes per block / stage-2 DFT length
+_CT_NB = 8  # blocks (radix)
+_CT_N = _CT_NA * _CT_NB  # 1024-point transform
+_CT_R = 5  # stored phases (r = 0..4)
+_CT_H = _CT_R * _CT_NA  # 640 stored bins per spectrum
+
+
+def _ct_dft_bases():
+    """Stacked stage-2 CT bases + the scrambled-order inverse, f64 -> f32.
+
+    Returns (bc, bs, ic_ct):
+      bc, bs (640, 128): rows 128 r + a hold the phase-r basis
+        B_r[a, m] = e^{-2 pi i a (8 m + r) / 1024} (cos / sin parts) — the
+        inter-block twiddle is folded in, so X[8 m + r] = g_r @ B_r where
+        g_r is the radix-8 block combine.
+      ic_ct (1280, 384): inverse for corr[s] = (1/n) sum_k conj(X_k) Y_k
+        e^{2 pi i k s / n} over the packed [Pr(640) | Pi(640)] product in
+        scrambled bin order; self-conjugate phase blocks (r = 0, 4) carry
+        weight 1 (both k and n-k are present), r = 1..3 weight 2 (their
+        conjugates r = 7..5 are not stored).  Only 384 lag columns: lag
+        384 equals the tail energy e_tab[384] and is never read by the
+        candidate walk (pidx >= 181 keeps every lookup at lane <= 383,
+        and zero pad rows resolve to pidx = 768, t0 = 383), so dropping
+        it lands the output on exactly 3 MXU tiles.
+    """
+    a = np.arange(_CT_NA)
+    bc = np.zeros((_CT_H, _CT_NA))
+    bs = np.zeros((_CT_H, _CT_NA))
+    for r in range(_CT_R):
+        theta = 2.0 * np.pi * np.outer(a, 8 * np.arange(_CT_NA) + r) / _CT_N
+        bc[_CT_NA * r : _CT_NA * (r + 1)] = np.cos(theta)
+        bs[_CT_NA * r : _CT_NA * (r + 1)] = np.sin(theta)
+
+    l_r = np.repeat(np.arange(_CT_R), _CT_NA)
+    l_m = np.tile(np.arange(_CT_NA), _CT_R)
+    k = 8 * l_m + l_r  # (640,) bin index of each stored lane
+    w = np.where((l_r == 0) | (l_r == 4), 1.0, 2.0)
+    s = np.arange(_N_LAGS - 1)[None, :]  # 384 lag columns
+    theta_ks = 2.0 * np.pi * k[:, None] * s / _CT_N
+    ic = (
+        np.concatenate(
+            [w[:, None] * np.cos(theta_ks), -w[:, None] * np.sin(theta_ks)],
+            axis=0,
+        )
+        / _CT_N
+    )  # (1280, 384)
+    f32 = lambda m: np.ascontiguousarray(m, np.float32)
+    return f32(bc), f32(bs), f32(ic)
 
 
 def _packed_dft_bases(n: int, h_pad: int, n_lags: int, rows: int):
@@ -107,15 +167,13 @@ _TAIL_PAD = 512  # tail lanes after slicing (480 nonzero -> 512 aligned)
 def _pitch_consts():
     """All constant operands, bf16 hi/lo split (0/1 matrices single-copy).
 
-    The 480-tap correlation kernel (the left-aligned tail) is structurally
-    zero on lanes >= 480, so its forward DFT basis ``frt`` and the x4
-    decimation selector only keep the first 512 (lane-aligned) rows and
-    the kernel slices the tail to 512 lanes before contracting — exact
-    (the dropped rows multiply zeros) and 41% less contraction work on
-    that DFT than the full 864-row basis ``fry`` the y side needs."""
-    # 385-lag correlation DFTs (n = 864)
-    fry, ic = _packed_dft_bases(_N_DFT, _H_PAD, _N_LAGS, rows=_N_DS)
-    frt = np.ascontiguousarray(fry[:_TAIL_PAD])
+    The 385-lag correlation runs through the contiguous-block CT bases
+    (see _ct_dft_bases): the x side (the 480-live-lane tail, 512 lanes)
+    combines 4 blocks, the y side (864 live lanes) 7.  Versus the round-4
+    dense 864/512-row bases padded to 1024 packed lanes, the CT cuts that
+    stage from 360 to ~200 MXU tile-passes per block and frees ~5 MB of
+    VMEM."""
+    bc, bs, ic = _ct_dft_bases()
     # coarse DFTs (n = 388): y side reads 387 rows, x side 240 (padded 256)
     fr4, ic4 = _packed_dft_bases(_N_DFT4, _H4_PAD, _N_COARSE, rows=_YLEN4)
     fr4x = np.zeros((_X4_PAD, 2 * _H4_PAD), np.float32)
@@ -135,7 +193,7 @@ def _pitch_consts():
     d_x4 = np.zeros((_TAIL_PAD, _X4_PAD), np.float32)  # x_lp4[j] = tail[2j]
     d_x4[2 * np.arange(_LEN4), np.arange(_LEN4)] = 1.0
 
-    return frt, fry, ic, fr4, fr4x, ic4, w_e, w4, d_y4, d_x4
+    return bc, bs, ic, fr4, fr4x, ic4, w_e, w4, d_y4, d_x4
 
 
 @functools.lru_cache(maxsize=2)
@@ -148,15 +206,66 @@ def _pitch_operands(mxu3: bool):
 
     NUMPY arrays only — this cache outlives jit traces, and a jnp array
     created inside a trace is a leaked tracer."""
-    frt, fry, ic, fr4, fr4x, ic4, w_e, w4, d_y4, d_x4 = _pitch_consts()
+    bc, bs, ic, fr4, fr4x, ic4, w_e, w4, d_y4, d_x4 = _pitch_consts()
     if not mxu3:
-        return (frt, fry, ic, fr4, fr4x, ic4, w_e, w4, d_y4, d_x4)
+        return (bc, bs, ic, fr4, fr4x, ic4, w_e, w4, d_y4, d_x4)
     bf = lambda m: np.asarray(m).astype(_BF16)
     return (
-        _split_hi_lo(frt) + _split_hi_lo(fry) + _split_hi_lo(ic)
+        _split_hi_lo(bc) + _split_hi_lo(bs) + _split_hi_lo(ic)
         + _split_hi_lo(fr4) + _split_hi_lo(fr4x) + _split_hi_lo(ic4)
         + (bf(w_e), bf(w4), bf(d_y4), bf(d_x4))
     )
+
+
+# radix-8 twiddle values omega^p = e^{-2 pi i p / 8}: every coefficient is
+# 0, +-1 or +-sqrt(2)/2, so the block combine is a handful of VPU adds
+_CT_C = float(np.sqrt(2.0) / 2.0)
+_CT_WRE = (1.0, _CT_C, 0.0, -_CT_C, -1.0, -_CT_C, 0.0, _CT_C)
+_CT_WIM = (0.0, -_CT_C, -1.0, -_CT_C, 0.0, _CT_C, 1.0, _CT_C)
+
+
+def _radix8_combine(blocks):
+    """g_r = sum_b blocks[b] * omega^{r b} for the stored phases r = 0..4.
+
+    ``blocks``: contiguous (bk, 128) lane-slices of the zero-padded
+    1024-lane input (trailing all-zero blocks simply omitted).  Returns
+    five (re, im) pairs; im is None for the self-conjugate phases
+    r = 0, 4 whose weights are real."""
+    out = []
+    for r in range(_CT_R):
+        re = None
+        im = None
+        for b, blk in enumerate(blocks):
+            p = (r * b) % 8
+            wr, wi = _CT_WRE[p], _CT_WIM[p]
+            if wr != 0.0:
+                t = blk if wr == 1.0 else (-blk if wr == -1.0 else blk * _F32(wr))
+                re = t if re is None else re + t
+            if wi != 0.0:
+                t = blk if wi == 1.0 else (-blk if wi == -1.0 else blk * _F32(wi))
+                im = t if im is None else im + t
+        out.append((re, im))
+    return out
+
+
+def _ct_forward(blocks, ct_split, ct_mm):
+    """1024-point forward DFT of contiguous 128-lane blocks.
+
+    Radix-8 block combine on the VPU, then one (128, 128) folded-twiddle
+    basis matmul per phase on the MXU.  Returns ([re_r], [im_r]) for
+    r = 0..4 in the scrambled bin order k = 8 m + r."""
+    res, ims = [], []
+    for r, (gre, gim) in enumerate(_radix8_combine(blocks)):
+        gre_s = ct_split(gre)
+        xre = ct_mm(gre_s, "bc", r)
+        xim = -ct_mm(gre_s, "bs", r)
+        if gim is not None:
+            gim_s = ct_split(gim)
+            xre = xre + ct_mm(gim_s, "bs", r)
+            xim = xim + ct_mm(gim_s, "bc", r)
+        res.append(xre)
+        ims.append(xim)
+    return res, ims
 
 
 def _mm_exact01(x, w01):
@@ -309,34 +418,49 @@ def _make_pitch_kernel(mxu3: bool):
     def kernel(x_ref, *refs):
         if mxu3:
             (
-                frt_hi, frt_lo, fry_hi, fry_lo, ic_hi, ic_lo, fr4_hi,
+                bc_hi, bc_lo, bs_hi, bs_lo, ic_hi, ic_lo, fr4_hi,
                 fr4_lo, fr4x_hi, fr4x_lo, ic4_hi, ic4_lo, w_e_ref, w4_ref,
                 d_y4_ref, d_x4_ref, cand_ref, pidx_ref,
             ) = refs
             consts = {
-                "frt": (frt_hi[:, :], frt_lo[:, :]),
-                "fry": (fry_hi[:, :], fry_lo[:, :]),
                 "ic": (ic_hi[:, :], ic_lo[:, :]),
                 "fr4": (fr4_hi[:, :], fr4_lo[:, :]),
                 "fr4x": (fr4x_hi[:, :], fr4x_lo[:, :]),
                 "ic4": (ic4_hi[:, :], ic4_lo[:, :]),
             }
+            ct = {"bc": (bc_hi[:, :], bc_lo[:, :]), "bs": (bs_hi[:, :], bs_lo[:, :])}
             mm = lambda x, k: _mm3(_split3(x), *consts[k])
             mm01 = _mm_exact01
+            ct_split = _split3
+
+            def ct_mm(g_s, which, r):
+                hi, lo = ct[which]
+                s = slice(_CT_NA * r, _CT_NA * (r + 1))
+                return _mm3(g_s, hi[s], lo[s])
+
         else:
             (
-                frt_ref, fry_ref, ic_ref, fr4_ref, fr4x_ref, ic4_ref,
+                bc_ref, bs_ref, ic_ref, fr4_ref, fr4x_ref, ic4_ref,
                 w_e_ref, w4_ref, d_y4_ref, d_x4_ref,
                 cand_ref, pidx_ref,
             ) = refs
             consts = {
-                "frt": frt_ref, "fry": fry_ref, "ic": ic_ref,
+                "ic": ic_ref,
                 "fr4": fr4_ref, "fr4x": fr4x_ref, "ic4": ic4_ref,
             }
+            ct = {"bc": bc_ref, "bs": bs_ref}
             mm = lambda x, k: jnp.dot(
                 x, consts[k][:, :], preferred_element_type=_F32
             )
             mm01 = lambda x, w: jnp.dot(x, w, preferred_element_type=_F32)
+            ct_split = lambda g: g
+
+            def ct_mm(g, which, r):
+                return jnp.dot(
+                    g,
+                    ct[which][_CT_NA * r : _CT_NA * (r + 1), :],
+                    preferred_element_type=_F32,
+                )
         x = x_ref[:, :]  # (bk, 864) raw downsampled window
         y = _whiten_block(x)
 
@@ -344,7 +468,8 @@ def _make_pitch_kernel(mxu3: bool):
         y2 = y * y
         e_tab = mm01(y2, w_e_ref[:, :])  # (bk, 385)
 
-        # 385-lag correlation corr[s] = dot(y[384:], y[s:s+480]) via DFTs
+        # 385-lag correlation corr[s] = dot(y[384:], y[s:s+480]) via the
+        # 1024-point contiguous-block CT DFT (see _ct_dft_bases)
         lanes = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
         tail = jnp.where(
             lanes < PITCH_FRAME_DS,
@@ -352,14 +477,20 @@ def _make_pitch_kernel(mxu3: bool):
             _F32(0.0),
         )  # y[384:864] left-aligned, zero-padded (cyclic-right roll)
         tail = tail[:, :_TAIL_PAD]  # lanes >= 480 are zero; 512-aligned
-        xk = mm(tail, "frt")  # (bk, 1024)
-        yk = mm(y, "fry")
-        xr, xi = xk[:, :_H_PAD], xk[:, _H_PAD:]
-        yr, yi = yk[:, :_H_PAD], yk[:, _H_PAD:]
-        prod = jnp.concatenate(
-            [xr * yr + xi * yi, xr * yi - xi * yr], axis=1
-        )
-        corr = mm(prod, "ic")  # (bk, 385)
+        # contiguous 128-lane CT blocks: x side 4 (480 live), y side 7
+        # (864 live; block 6 = y[768:864] via roll + mask, zero above 96)
+        xb = [tail[:, _CT_NA * b : _CT_NA * (b + 1)] for b in range(4)]
+        yb = [y[:, _CT_NA * b : _CT_NA * (b + 1)] for b in range(6)]
+        y6 = pltpu.roll(y, _N_DS - 6 * _CT_NA, axis=1)[:, :_CT_NA]
+        l6 = jax.lax.broadcasted_iota(jnp.int32, y6.shape, 1)
+        yb.append(jnp.where(l6 < _N_DS - 6 * _CT_NA, y6, _F32(0.0)))
+        xres, xims = _ct_forward(xb, ct_split, ct_mm)
+        yres, yims = _ct_forward(yb, ct_split, ct_mm)
+        # conj(X) * Y per phase, packed [Pr(640) | Pi(640)] scrambled order
+        pr = [xres[r] * yres[r] + xims[r] * yims[r] for r in range(_CT_R)]
+        pi = [xres[r] * yims[r] - xims[r] * yres[r] for r in range(_CT_R)]
+        prod = jnp.concatenate(pr + pi, axis=1)  # (bk, 1280)
+        corr = mm(prod, "ic")  # (bk, 384); lag 384 never read (see bases)
 
         # coarse stage on 4x-decimated views (exact 0/1 selectors)
         y4 = mm01(y, d_y4_ref[:, :])  # (bk, 387) = y[0::2][:387]
