@@ -175,26 +175,32 @@ def precompute_chunk(
 
     from . import flags
 
-    flat = x_lp_raw.reshape(t * b, _DS_WIN)
     if jax.default_backend() == "cpu" or not flags.PITCH_KERNEL:
-        x_lp = jax.vmap(whiten)(flat)
+        # Keep the (T, B) axes unmerged through this branch: a T-major
+        # (t*b, 864) flatten cannot carry the batch sharding through a
+        # merged axis, so on a dp mesh GSPMD re-materializes every window
+        # with a hot-path all-gather (caught by
+        # test_parallel.py::test_gspmd_scan_path_has_no_collectives).
+        # Double-vmap batches the same MXU products at (T, B, ...) shapes.
+        vv = lambda f: jax.vmap(jax.vmap(f))
+        x_lp = vv(whiten)(x_lp_raw)
         # The fine-search correlation dot(x_lp[384:], x_lp[i:i+480]) IS
         # the octave-removal correlation at more lags: compute it ONCE for
         # all frames via DFTs (grouped 1-D convs lower as shifted adds on
         # TPU) and share it between both consumers.
-        corr_shared = xcorr_dft(x_lp[:, PITCH_MAX_DS:], x_lp, PITCH_MAX_DS + 1)
+        corr_shared = xcorr_dft(x_lp[..., PITCH_MAX_DS:], x_lp, PITCH_MAX_DS + 1)
         # ONE 385-lag forward window-energy table serves both the
         # fine-stage normalizer (first 294 lags) and octave removal's
         # reversed energy walk (a lane flip) — the banded matrices are
         # column selections of each other, so sharing is bit-exact and
         # deletes two of the three big banded matmuls.
         energies = window_energies(x_lp, PITCH_FRAME_DS, PITCH_MAX_DS + 1)
-        search = jax.vmap(pitch_search)(x_lp, corr_shared, energies)
+        search = vv(pitch_search)(x_lp, corr_shared, energies)
         pitch_idx = PITCH_MAX_PERIOD - search
-        corr_full, yy_lookup, xx = jax.vmap(doubling_tables)(
+        corr_full, yy_lookup, xx = vv(doubling_tables)(
             x_lp, corr_shared, energies
         )
-        cand = jax.vmap(doubling_candidates)(corr_full, yy_lookup, xx, pitch_idx)
+        cand = vv(doubling_candidates)(corr_full, yy_lookup, xx, pitch_idx)
     else:
         # the ENTIRE pitch stack — whiten, shared 385-lag correlation,
         # energy table, coarse/fine search and candidate tables — as ONE
@@ -204,7 +210,7 @@ def precompute_chunk(
         # operational escape hatch if Mosaic regresses on this kernel.
         from .ops.pitch_kernel import pitch_analysis_pallas
 
-        cand, _ = pitch_analysis_pallas(flat)
+        cand, _ = pitch_analysis_pallas(x_lp_raw.reshape(t * b, _DS_WIN))
 
     pre = FramePre(
         filtered=filtered_tm,

@@ -92,6 +92,45 @@ def test_shardmap_fused_kernel_matches(testing_raw, default_model):
     assert len(out_s.sharding.device_set) == 8
 
 
+def test_gspmd_scan_path_has_no_collectives(default_model):
+    """Mechanical proof of the zero-hot-path-collectives claim (SURVEY.md §2
+    parallelism checklist): compile the GSPMD scan engine on the 8-device
+    mesh with dp-sharded operands and assert the optimized HLO contains no
+    collective ops at all.  Streams never couple, weights are passed (not
+    broadcast via a collective), so ANY collective here is a sharding
+    regression — e.g. the T-major (t*b, 864) flatten this test caught, which
+    made GSPMD re-materialize every pitch window with a (3, 8, 864)
+    all-gather (fixed by keeping (T, B) unmerged in chunk.precompute_chunk).
+    """
+    import re
+
+    from nnnoiseless_tpu.parallel.mesh import _sharded_chunk_one
+
+    b, t = 16, 3
+    mesh = make_mesh(jax.devices()[:8])
+    carry = shard_batch(init_batch_carry(default_model.meta, b), mesh)
+    frames = shard_batch(
+        jax.numpy.zeros((b, t, FRAME_SIZE), jax.numpy.float32), mesh
+    )
+    compiled = _sharded_chunk_one.lower(
+        default_model.params, default_model.meta, carry, frames
+    ).compile()
+    hlo = compiled.as_text()
+    bad = re.findall(
+        r"\b(all-gather|all-reduce|all-to-all|collective-permute|"
+        r"reduce-scatter|collective-broadcast)\b[^\n]*",
+        hlo,
+    )
+    assert not bad, f"hot-path collectives in the scan engine HLO: {bad[:5]}"
+    # per-shard program identity: GSPMD emits ONE SPMD module for all shards
+    assert len(compiled.as_text().split("ENTRY")) == 2  # single entry point
+    # and every output really is dp-sharded, not silently replicated
+    c2, out, vad = _sharded_chunk_one(
+        default_model.params, default_model.meta, carry, frames
+    )
+    assert len(out.sharding.device_set) == 8
+
+
 def test_indivisible_batch_raises(default_model):
     mesh = make_mesh(jax.devices()[:8])
     frames = np.zeros((6, 2, FRAME_SIZE), np.float32)  # 6 % 8 != 0
