@@ -54,8 +54,20 @@ def _wait_for_device(max_wait_s: float) -> bool:
         time.sleep(60)
 
 
-def bench_batch(model, batch: int, n_frames: int, iters: int = 3) -> float:
-    """Returns frames/sec (aggregate over the batch)."""
+def bench_batch(
+    model, batch: int, n_frames: int, iters: int = 3, depth: int = 8
+) -> tuple[float, float]:
+    """Returns (steady_fps, sync_fps), aggregate frames/sec over the batch.
+
+    ``sync`` is the round-4 methodology — one chunk per measurement with a
+    host readback after each, so every chunk pays the ~30-40 ms tunnel
+    dispatch round-trip.  ``steady`` is the production streaming shape:
+    ``depth`` chunks dispatched back-to-back with the carry chained on
+    device and ONE readback at the end — the round-trip amortizes away and
+    the device runs saturated (the two engine phases already queue with no
+    host gap, docs/PERFORMANCE.md round-5 attribution).  A caller feeding
+    a continuous stream gets the steady number.
+    """
     import jax.numpy as jnp
 
     from nnnoiseless_tpu import init_batch_carry
@@ -65,7 +77,7 @@ def bench_batch(model, batch: int, n_frames: int, iters: int = 3) -> float:
     frames = jnp.asarray(
         (rng.randn(batch, n_frames, 480) * 3000).astype(np.float32)
     )
-    carry = init_batch_carry(model.meta, batch)
+    carry0 = init_batch_carry(model.meta, batch)
 
     def force(out):
         # A host readback of a value derived from the full output is the
@@ -78,16 +90,28 @@ def bench_batch(model, batch: int, n_frames: int, iters: int = 3) -> float:
         return float(jnp.sum(out[:, -1, 0]))
 
     # warmup/compile
-    carry, out, vad = _sharded_chunk(model.params, model.meta, carry, frames)
+    carry, out, vad = _sharded_chunk(model.params, model.meta, carry0, frames)
     force(out)
 
-    best = float("inf")
+    best_sync = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
         carry, out, vad = _sharded_chunk(model.params, model.meta, carry, frames)
         force(out)
-        best = min(best, time.perf_counter() - t0)
-    return batch * n_frames / best
+        best_sync = min(best_sync, time.perf_counter() - t0)
+
+    best_steady = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        for _ in range(depth):
+            carry, out, vad = _sharded_chunk(
+                model.params, model.meta, carry, frames
+            )
+        force(out)
+        best_steady = min(best_steady, (time.perf_counter() - t0) / depth)
+
+    fps = batch * n_frames
+    return fps / best_steady, fps / best_sync
 
 
 def main():
@@ -121,13 +145,14 @@ def main():
     # lands even if a later (cheaper) config fails or times out.
     for b in sorted(args.batches, reverse=True):
         try:
-            fps = bench_batch(model, b, args.frames, args.iters)
+            steady, sync = bench_batch(model, b, args.frames, args.iters)
         except Exception as e:  # keep going; report what we have
             print(f"# batch {b}: FAILED ({e})", file=sys.stderr)
             continue
-        results[b] = fps
+        results[b] = (steady, sync)
         print(
-            f"# batch {b:5d}: {fps:12.0f} frames/s = {fps / 100:9.1f}x realtime",
+            f"# batch {b:5d}: {steady:12.0f} frames/s = {steady / 100:9.1f}x "
+            f"realtime steady ({sync / 100:.1f}x per-chunk-sync)",
             file=sys.stderr,
             flush=True,
         )
@@ -138,7 +163,11 @@ def main():
                           "error": "all batch configs failed"}))
         return
     top_batch = max(results)
-    rt = results[top_batch] / 100.0
+    rt = results[top_batch][0] / 100.0
+    detail = {}
+    for b, (steady, sync) in results.items():
+        detail[f"batch{b}"] = round(steady / 100.0, 1)
+        detail[f"batch{b}_sync"] = round(sync / 100.0, 1)
     print(
         json.dumps(
             {
@@ -146,9 +175,7 @@ def main():
                 "value": round(rt, 1),
                 "unit": "x_realtime_48kHz_mono",
                 "vs_baseline": round(rt / NORTH_STAR, 3),
-                "detail": {
-                    f"batch{b}": round(v / 100.0, 1) for b, v in results.items()
-                },
+                "detail": detail,
                 "device": str(dev),
             }
         )
