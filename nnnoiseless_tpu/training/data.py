@@ -20,6 +20,7 @@ Usage::
 from __future__ import annotations
 
 import argparse
+import os
 
 import glob as globlib
 import wave
@@ -36,6 +37,7 @@ from ..constants import (
     FREQ_SIZE,
     NB_BANDS,
     NB_FEATURES,
+    PITCH_BUF_SIZE,
 )
 from ..pipeline import FeatureState, init_feature_state
 
@@ -330,7 +332,14 @@ class NoiseSimulator:
 
 @jax.jit
 def _feature_chunk(states: FeatureState, frames: jnp.ndarray):
-    """Batched hoisted analysis: states over B pipelines, frames (B, T, 480).
+    """Batched hoisted analysis over w worlds of (clean, noise) streams.
+
+    ``frames`` is (2w, T, 480) — each world's clean and noise streams;
+    ``states`` is (3w, ...).  The combined stream is reconstructed ON
+    DEVICE as clean + noise (bit-identical to the host's f32 add), so a
+    third of the host→device bytes never cross the wire — on the tunneled
+    transport the tensor upload, not compute, dominates the generator's
+    device time (docs/PERFORMANCE.md round-5 datagen record).
 
     The same two-phase shape as the inference engine (chunk.py): all
     frame-local work — HP filter, lag-0 spectra/energies/cepstra, the
@@ -339,23 +348,56 @@ def _feature_chunk(states: FeatureState, frames: jnp.ndarray):
     generator's device side fast enough for corpus-scale dumps (the
     reference's generator is a native binary, src/training.rs).
 
-    Returns (states', features (B,T,42), ex (B,T,22), silence (B,T))."""
+    Returns (states', features (3w,T,42), ex (3w,T,22), silence (3w,T))."""
     from ..chunk import precompute_chunk
     from ..pipeline import analyze_frame_hoisted
 
+    w2, t, _ = frames.shape
+    w = w2 // 2
+    fr = frames.reshape(w, 2, t, FRAME_SIZE)
+    comb = fr[:, 0] + fr[:, 1]
+    frames = jnp.concatenate([fr, comb[:, None]], axis=1).reshape(
+        3 * w, t, FRAME_SIZE
+    )
     pre, hp_out = precompute_chunk(states.input_mem, states.hp_mem, frames)
 
-    def step(s, pre_t):  # pre_t: FramePre slices with leading (B,)
-        s2, an = jax.vmap(analyze_frame_hoisted)(s, pre_t)
-        return s2, (an.features, an.ex, an.silence)
+    # Only the COMBINED stream's features are consumed downstream; the
+    # clean/noise streams contribute just their lag-0 band energies, which
+    # the precompute already produced (an.ex/an.silence pass pre.ex/
+    # pre.silence through unchanged).  So the sequential remainder — the
+    # pitch-continuity selection and cepstral shift register — runs on the
+    # combined third of the batch only: a 3x cut of the scan.
+    pre_c = jax.tree_util.tree_map(lambda a: a[:, 2::3], pre)
+    st_c = jax.tree_util.tree_map(lambda a: a[2::3], states)
 
-    states, (feats, ex, sil) = jax.lax.scan(step, states, pre)
-    states = states._replace(hp_mem=hp_out)
+    def step(s, pre_t):  # pre_t: FramePre slices with leading (w,)
+        s2, an = jax.vmap(analyze_frame_hoisted)(s, pre_t)
+        return s2, an.features
+
+    st_c, feats = jax.lax.scan(step, st_c, pre_c)
+
+    # input_mem rolls forward identically for every stream (it is updated
+    # unconditionally, pipeline.analyze_frame_hoisted) — reconstruct it for
+    # the clean/noise streams from the chunk's filtered frames.
+    filt = jnp.swapaxes(pre.filtered, 0, 1).reshape(3 * w, -1)  # (3w, t*480)
+    if filt.shape[1] >= PITCH_BUF_SIZE:
+        new_mem = filt[:, -PITCH_BUF_SIZE:]
+    else:
+        new_mem = jnp.concatenate([states.input_mem, filt], axis=1)[
+            :, -PITCH_BUF_SIZE:
+        ]
+    states = FeatureState(
+        input_mem=new_mem,
+        hp_mem=hp_out,
+        cepstral_mem=states.cepstral_mem.at[2::3].set(st_c.cepstral_mem),
+        pitch_period=states.pitch_period.at[2::3].set(st_c.pitch_period),
+        pitch_gain=states.pitch_gain.at[2::3].set(st_c.pitch_gain),
+    )
     return (
         states,
-        jnp.swapaxes(feats, 0, 1),
-        jnp.swapaxes(ex, 0, 1),
-        jnp.swapaxes(sil, 0, 1),
+        jnp.swapaxes(feats, 0, 1),  # (w, T, 42) — combined stream only
+        jnp.swapaxes(pre.ex, 0, 1),  # (3w, T, 22)
+        jnp.swapaxes(pre.silence[:, 2::3], 0, 1),  # (w, T) — combined
     )
 
 
@@ -409,22 +451,35 @@ def generate(
     done = 0
     dev_s = host_s = 0.0
     band = np.arange(NB_BANDS)[None, :]
+    # Mix worlds in parallel where the host has the cores for it (numpy and
+    # the native biquad FFI release the GIL).  On a single-core host a pool
+    # is pure overhead, so fall back to the sequential loop.
+    pool = None
+    n_cores = os.cpu_count() or 1
+    if w > 1 and n_cores > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(min(w, n_cores))
 
     def finish(start, n, cutoffs, vads, feats, ex, sil):
-        """Read back one dispatched chunk and write its rows."""
-        feats = np.asarray(feats).reshape(w, 3, n, NB_FEATURES)
-        ex = np.asarray(ex).reshape(w, 3, n, NB_BANDS)
-        sil = np.asarray(sil).reshape(w, 3, n)
+        """Read back one dispatched chunk and write its first n rows.
+
+        ``feats``/``sil`` cover only the combined stream, (w, n_disp, …);
+        ``ex`` covers all three streams, (3w, n_disp, 22)."""
+        n_disp = np.asarray(feats).shape[1]  # chunk (padded) or n
+        feats = np.asarray(feats)[:, :n]
+        ex = np.asarray(ex).reshape(w, 3, n_disp, NB_BANDS)[:, :, :n]
+        sil = np.asarray(sil)[:, :n]
 
         clean_ex, noise_ex, comb_ex = ex[:, 0], ex[:, 1], ex[:, 2]
-        cut = np.where(sil[:, 2], 0, cutoffs)[..., None]  # silence -> sentinel
+        cut = np.where(sil, 0, cutoffs)[..., None]  # silence -> sentinel
         g = np.sqrt((clean_ex + 1e-3) / (comb_ex + 1e-3)).clip(max=1.0)
         g = np.where((clean_ex < 5e-2) & (comb_ex < 5e-2), -1.0, g)
         g = np.where(band[None] < cut, g, -1.0)
         noise_level = np.log10(noise_ex + 1e-2)
 
         rows = np.concatenate(
-            [feats[:, 2], g, noise_level, vads[..., None]], axis=2
+            [feats, g, noise_level, vads[..., None]], axis=2
         ).astype(np.float32)
         for i in range(w):
             out[i * per + start : i * per + start + n] = rows[i]
@@ -442,22 +497,45 @@ def generate(
         if done < per:
             t_host = _time.perf_counter()
             n = min(chunk, per - done)
-            # stream layout: [w0-clean, w0-noise, w0-comb, w1-clean, ...]
-            frames = np.empty((w, 3, n, FRAME_SIZE), np.float32)
+            # A short tail chunk is zero-PADDED to the compiled chunk shape
+            # instead of dispatched at a fresh (3w, n) shape: a new shape
+            # costs a whole XLA compile mid-run (tens of seconds through
+            # this backend), dwarfing the padded frames' compute.  The scan
+            # over frames is causal, so rows [:n] are unaffected; the
+            # post-pad feature state is never used (the tail is the last
+            # dispatch).  finish() slices the readback to n.
+            n_disp = chunk if (n < chunk and done > 0) else n
+            # Only the clean and noise streams cross the wire; the device
+            # rebuilds combined = clean + noise (bit-identical f32 add) —
+            # see _feature_chunk.  Layout: [w0-clean, w0-noise, w1-clean,…]
+            frames = np.zeros((w, 2, n_disp, FRAME_SIZE), np.float32)
             cutoffs = np.empty((w, n), np.int32)
             vads = np.empty((w, n), np.float32)
-            for i, sim in enumerate(sims):
+
+            # Worlds are fully independent (own readers, simulator state and
+            # RandomState), so mix them in parallel — numpy and the native
+            # biquad FFI both release the GIL, and each world writes a
+            # disjoint slice.  Draw order WITHIN a world is unchanged, so
+            # output is bit-identical to the sequential loop at any pool
+            # size.
+            def _mix(i):
                 (
-                    frames[i, 0],
-                    frames[i, 1],
-                    frames[i, 2],
+                    frames[i, 0, :n],
+                    frames[i, 1, :n],
+                    _,
                     cutoffs[i],
                     vads[i],
-                ) = sim.next_frames(n)
+                ) = sims[i].next_frames(n)
+
+            if pool is None:
+                for i in range(w):
+                    _mix(i)
+            else:
+                list(pool.map(_mix, range(w)))
             t_dispatch = _time.perf_counter()
             host_s += t_dispatch - t_host
             states, feats, ex, sil = _feature_chunk(
-                states, jnp.asarray(frames.reshape(3 * w, n, FRAME_SIZE))
+                states, jnp.asarray(frames.reshape(2 * w, n_disp, FRAME_SIZE))
             )
             dev_s += _time.perf_counter() - t_dispatch
             inflight = (done, n, cutoffs, vads, feats, ex, sil)
@@ -467,6 +545,8 @@ def generate(
             finish(*pending)
             dev_s += _time.perf_counter() - t_fin
         pending = inflight
+    if pool is not None:
+        pool.shutdown(wait=False)
     if timing is not None:
         timing["device_s"] = dev_s
         timing["host_s"] = host_s
