@@ -25,6 +25,26 @@ if _want == "cpu":
 
 DATA_DIR = pathlib.Path(__file__).parent / "data"
 
+# Fast lane: `pytest -m quick` runs the numeric oracles and unit tests
+# (~1 min) — the modules below avoid the expensive B=1 full-clip XLA
+# compiles that dominate the 23-minute full suite.  Full suite durations
+# are recorded in docs/PERFORMANCE.md's test-lane notes.
+_QUICK_MODULES = {
+    "test_ops",
+    "test_tables",
+    "test_model",
+    "test_resample",
+    "test_pitch_trace",
+}
+
+
+def pytest_collection_modifyitems(items):
+    import pytest as _pytest
+
+    for item in items:
+        if item.module.__name__ in _QUICK_MODULES:
+            item.add_marker(_pytest.mark.quick)
+
 
 @pytest.fixture(scope="session")
 def testing_raw() -> np.ndarray:
