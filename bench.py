@@ -55,7 +55,7 @@ def _wait_for_device(max_wait_s: float) -> bool:
 
 
 def bench_batch(
-    model, batch: int, n_frames: int, iters: int = 3, depth: int = 8
+    model, batch: int, n_frames: int, iters: int = 3, depth: int = 16
 ) -> tuple[float, float]:
     """Returns (steady_fps, sync_fps), aggregate frames/sec over the batch.
 
