@@ -68,23 +68,8 @@ def init_train_state(
     return TrainState(params, opt.init(params), jnp.int32(0))
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4), donate_argnums=(0,))
-def train_step(
-    state: TrainState,
-    batch: dict,
-    sample_weight: Optional[jnp.ndarray],
-    meta: ModelMeta,
-    optimizer=1e-3,
-):
-    """One SGD step on a batch {features (B,T,42), gains (B,T,22), vad (B,T,1)}.
-
-    ``optimizer`` is static: either a GradientTransformation (whose state
-    must match ``state.opt_state``) or a float learning rate resolved
-    through the :func:`make_optimizer` cache.
-
-    Pure and shardable: with the batch sharded over "dp" and params
-    replicated, XLA inserts the gradient all-reduce automatically.
-    """
+def _sgd_step(state, batch, sample_weight, meta, optimizer):
+    """Shared SGD-step body for the two jitted entry points below."""
     from .losses import l2_regularization
 
     def loss_fn(params):
@@ -104,6 +89,57 @@ def train_step(
     params = optax.apply_updates(state.params, updates)
     params = clip_params(params)  # Keras WeightClip(0.499) constraint
     return TrainState(params, opt_state, state.step + 1), loss
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4), donate_argnums=(0,))
+def train_step(
+    state: TrainState,
+    batch: dict,
+    sample_weight: Optional[jnp.ndarray],
+    meta: ModelMeta,
+    optimizer=1e-3,
+):
+    """One SGD step on a batch {features (B,T,42), gains (B,T,22), vad (B,T,1)}.
+
+    ``optimizer`` is static: either a GradientTransformation (whose state
+    must match ``state.opt_state``) or a float learning rate resolved
+    through the :func:`make_optimizer` cache.
+
+    Pure and shardable: with the batch sharded over "dp" and params
+    replicated, XLA inserts the gradient all-reduce automatically.
+    """
+    return _sgd_step(state, batch, sample_weight, meta, optimizer)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5), donate_argnums=(0,))
+def train_step_indexed(
+    state: TrainState,
+    data: dict,
+    idx: jnp.ndarray,
+    seq_weights: jnp.ndarray,
+    meta: ModelMeta,
+    optimizer=1e-3,
+):
+    """One SGD step on rows ``idx`` of an ON-DEVICE dataset.
+
+    The batch gather happens inside the program, so the host transfers
+    only the (B,) index vector per step instead of the ~17 MB batch the
+    :func:`train_step` path re-uploads every call — on this backend's
+    ~50-65 MB/s tunnel that upload dominated the step (measured 401 →
+    104 ms/step at batch 32 x 2000, docs/TRAINING_RUN.md §round-5).
+    ``data`` holds the full {features, gains, vad} arrays
+    (sequence-major); ``seq_weights`` the per-sequence sample weights.
+
+    Sharding: with ``data``/``seq_weights``/params replicated and ``idx``
+    sharded over "dp", each device gathers its own batch rows from its
+    local copy (zero communication) and XLA inserts the gradient
+    all-reduce exactly as in :func:`train_step`.
+    """
+    batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+    sw = jnp.broadcast_to(
+        jnp.take(seq_weights, idx)[:, None], batch["vad"].shape[:2]
+    )
+    return _sgd_step(state, batch, sw, meta, optimizer)
 
 
 def compute_sample_weights(gains: np.ndarray) -> np.ndarray:
@@ -251,37 +287,56 @@ def fit(
     n = len(features)
     rng = np.random.RandomState(seed)
 
+    # The dataset lives ON DEVICE for the whole run (a reference-scale 10M
+    # frames is ~3.5 GB — well inside HBM); each step uploads only its (B,)
+    # index vector and gathers the batch inside the jitted program
+    # (train_step_indexed).  Re-uploading every batch was ~75% of the
+    # per-step wall on this backend's tunnel.
+    data = {
+        "features": jnp.asarray(features),
+        "gains": jnp.asarray(gains),
+        "vad": jnp.asarray(vad),
+    }
+    seq_w = jnp.asarray(weights, jnp.float32)
+
     if mesh is not None:
-        batch_sharding = NamedSharding(mesh, P("dp"))
+        idx_sharding = NamedSharding(mesh, P("dp"))
         rep = NamedSharding(mesh, P())
         state = jax.device_put(state, rep)
+        data = jax.device_put(data, rep)
+        seq_w = jax.device_put(seq_w, rep)
     else:
-        batch_sharding = None
+        idx_sharding = None
 
+    # Loss readbacks are deferred: float(loss) is a host round-trip that
+    # would serialize every step (and on this backend gates execution
+    # itself); keeping device scalars lets log_every steps chain
+    # back-to-back.  ``history`` is materialized in one transfer at the end.
+    pending: list = []
     step = 0
     for epoch in range(epochs):
         perm = rng.permutation(n)
         for i in range(0, n - batch_size + 1, batch_size):
-            idx = perm[i : i + batch_size]
-            batch = {
-                "features": jnp.asarray(features[idx]),
-                "gains": jnp.asarray(gains[idx]),
-                "vad": jnp.asarray(vad[idx]),
-            }
-            sw = jnp.broadcast_to(
-                jnp.asarray(weights[idx])[:, None], batch["vad"].shape[:2]
+            idx = jnp.asarray(perm[i : i + batch_size])
+            if idx_sharding is not None:
+                idx = jax.device_put(idx, idx_sharding)
+            state, loss = train_step_indexed(
+                state, data, idx, seq_w, meta, optimizer
             )
-            if batch_sharding is not None:
-                batch = jax.device_put(batch, batch_sharding)
-                sw = jax.device_put(sw, batch_sharding)
-            state, loss = train_step(state, batch, sw, meta, optimizer)
             if step % log_every == 0:
                 print(f"epoch {epoch} step {step} loss {float(loss):.5f}")
             if history is not None:
-                history.append((step, float(loss)))
+                pending.append((step, loss))
             step += 1
             if checkpoint_dir and step % checkpoint_every == 0:
                 save_checkpoint(checkpoint_dir, state)
+    if history is not None and pending:
+        ls = [l for _, l in pending]
+        # bounded stacks: one readback per 512 steps, no single huge concat
+        losses = np.concatenate(
+            [np.asarray(jnp.stack(ls[j : j + 512])) for j in range(0, len(ls), 512)]
+        )
+        history.extend((s, float(l)) for (s, _), l in zip(pending, losses))
     if checkpoint_dir:
         save_checkpoint(checkpoint_dir, state)
     return jax.device_get(state.params)

@@ -338,3 +338,120 @@ def test_synthetic_demo_model_denoises():
     # shipped reference model's +6.82 dB on this mix); margin for
     # platform variation
     assert snr_out - snr_noisy > 5.5, (snr_noisy, snr_out)
+
+
+def test_train_step_indexed_matches_train_step():
+    """The on-device-dataset path (in-program gather, train_step_indexed)
+    computes the same step as train_step on the gathered batch — the
+    gather changes WHERE the batch is assembled, not any input value.
+    (Bound: fusing the gather into the program lets XLA reorder f32
+    reductions at the ulp level, and Adam's rsqrt amplifies that to
+    ~1e-6 absolute on a handful of weights — measured 3/32,832 elements
+    at 1.2e-6 on the CPU platform; 5e-6/1e-4 pins the behavior without
+    chasing compiler scheduling.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from nnnoiseless_tpu.training.network import DEFAULT_META
+    from nnnoiseless_tpu.training.train import (
+        init_train_state,
+        train_step,
+        train_step_indexed,
+    )
+
+    rng = np.random.RandomState(0)
+    n, t, b = 6, 30, 4
+    data = {
+        "features": jnp.asarray(rng.randn(n, t, NB_FEATURES).astype(np.float32)),
+        "gains": jnp.asarray(rng.rand(n, t, NB_BANDS).astype(np.float32)),
+        "vad": jnp.asarray((rng.rand(n, t, 1) > 0.5).astype(np.float32)),
+    }
+    seq_w = jnp.asarray(rng.rand(n).astype(np.float32))
+    idx_np = np.asarray([4, 1, 3, 1])  # repeats allowed (shuffled sampling)
+
+    batch = {k: v[idx_np] for k, v in data.items()}
+    sw = jnp.broadcast_to(seq_w[idx_np][:, None], (b, t))
+    s_ref, loss_ref = train_step(
+        init_train_state(jax.random.PRNGKey(0)), batch, sw, DEFAULT_META, 1e-3
+    )
+    s_idx, loss_idx = train_step_indexed(
+        init_train_state(jax.random.PRNGKey(0)),
+        data,
+        jnp.asarray(idx_np),
+        seq_w,
+        DEFAULT_META,
+        1e-3,
+    )
+    np.testing.assert_allclose(float(loss_ref), float(loss_idx), rtol=1e-6)
+    for (ka, va), (kb, vb) in zip(
+        sorted(
+            jax.tree_util.tree_leaves_with_path(s_ref.params),
+            key=lambda kv: str(kv[0]),
+        ),
+        sorted(
+            jax.tree_util.tree_leaves_with_path(s_idx.params),
+            key=lambda kv: str(kv[0]),
+        ),
+    ):
+        assert str(ka) == str(kb)
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), rtol=1e-4, atol=5e-6, err_msg=str(ka)
+        )
+
+
+def test_fit_history_and_device_dataset():
+    """fit() trains off the one-time-uploaded device dataset; the deferred
+    history materializes every step's loss in order."""
+    import jax
+
+    from nnnoiseless_tpu.training.train import fit
+
+    rng = np.random.RandomState(1)
+    n, t = 8, 40
+    feats = rng.randn(n, t, NB_FEATURES).astype(np.float32)
+    gains = rng.rand(n, t, NB_BANDS).astype(np.float32)
+    vad = (rng.rand(n, t, 1) > 0.5).astype(np.float32)
+
+    history: list = []
+    params = fit(
+        feats, gains, vad, epochs=3, batch_size=4, log_every=100, history=history
+    )
+    assert [s for s, _ in history] == list(range(3 * (n // 4)))
+    assert np.all(np.isfinite([l for _, l in history]))
+    for layer in params.values():
+        for arr in layer.values():
+            assert np.all(np.isfinite(arr))
+
+
+def test_fit_dp_mesh_indexed_gather():
+    """The mesh path: dataset/weights replicated, per-step indices sharded
+    over "dp" — each device gathers its own rows locally and the step
+    trains (finite, decreasing-capable loss) on the 8-device mesh."""
+    import jax
+
+    from nnnoiseless_tpu.parallel.mesh import make_mesh
+    from nnnoiseless_tpu.training.train import fit
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU platform")
+    mesh = make_mesh(jax.devices()[:8])
+
+    rng = np.random.RandomState(2)
+    n, t = 16, 40
+    feats = rng.randn(n, t, NB_FEATURES).astype(np.float32)
+    gains = rng.rand(n, t, NB_BANDS).astype(np.float32)
+    vad = (rng.rand(n, t, 1) > 0.5).astype(np.float32)
+
+    history: list = []
+    fit(
+        feats,
+        gains,
+        vad,
+        epochs=1,
+        batch_size=8,
+        log_every=100,
+        mesh=mesh,
+        history=history,
+    )
+    assert len(history) == 2
+    assert np.all(np.isfinite([l for _, l in history]))
