@@ -65,8 +65,8 @@ def build_corpus(workdir: str):
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--rows", type=int, default=120_000)
-    ap.add_argument("--workers", type=int, default=32)
-    ap.add_argument("--chunk", type=int, default=500)
+    ap.add_argument("--workers", type=int, default=96)
+    ap.add_argument("--chunk", type=int, default=625)
     ap.add_argument("--workdir", default="/tmp/nnt_datagen_bench")
     args = ap.parse_args(argv)
 

@@ -406,7 +406,7 @@ def generate(
     noise_paths: List[str],
     count: int,
     seed: int = 0,
-    chunk: int = 512,
+    chunk: int = 625,  # w=96/chunk=625 measured best (docs/TRAINING_RUN.md)
     progress=None,
     workers: int = 1,
     timing: dict | None = None,
@@ -563,7 +563,9 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument(
         "--workers", type=int, default=1,
-        help="parallel generator worlds (device batch = 3*workers)",
+        help="parallel generator worlds (device batch = 3*workers); 1 "
+        "reproduces the reference's single continuous stream, 96 is the "
+        "measured-best throughput config (docs/TRAINING_RUN.md)",
     )
     args = ap.parse_args(argv)
 

@@ -455,3 +455,35 @@ def test_fit_dp_mesh_indexed_gather():
     )
     assert len(history) == 2
     assert np.all(np.isfinite([l for _, l in history]))
+
+
+def test_fit_checkpoint_resume_roundtrip(tmp_path):
+    """fit() with checkpoint_dir saves periodically; a second fit resuming
+    from the directory continues at the saved step (the indexed-dataset
+    loop preserves the orbax checkpoint/resume contract)."""
+    from nnnoiseless_tpu.training.train import fit, latest_checkpoint
+
+    rng = np.random.RandomState(3)
+    n, t = 8, 40
+    feats = rng.randn(n, t, NB_FEATURES).astype(np.float32)
+    gains = rng.rand(n, t, NB_BANDS).astype(np.float32)
+    vad = (rng.rand(n, t, 1) > 0.5).astype(np.float32)
+    ckpt = tmp_path / "ckpt"
+
+    fit(
+        feats, gains, vad, epochs=2, batch_size=4, log_every=100,
+        checkpoint_dir=str(ckpt), checkpoint_every=3,
+    )
+    # 2 epochs x 2 steps: periodic save at step 3 + final save at step 4
+    names = sorted(p.name for p in ckpt.glob("step_*"))
+    assert names == ["step_00000003", "step_00000004"]
+
+    history: list = []
+    fit(
+        feats, gains, vad, epochs=3, batch_size=4, log_every=100,
+        checkpoint_dir=str(ckpt), checkpoint_every=100,
+        resume_from=str(ckpt), history=history,
+    )
+    # resumed state carries step=4; 6 more steps end at 10 (final save)
+    assert latest_checkpoint(ckpt).name == "step_00000010"
+    assert np.all(np.isfinite([l for _, l in history]))
