@@ -366,46 +366,91 @@ def _whiten_block(x):
     return y
 
 
+def _lookup_rng(table, idx, lo: int, hi: int):
+    """_lookup restricted to the STATIC index range [lo, hi] — exact: a
+    compare outside the proven range can never match, so slicing the
+    table to the vreg-aligned columns covering the range drops only
+    always-false lanes.  Indices beyond the table width still resolve to
+    0, like the full-width lookup."""
+    n = table.shape[1]
+    lo = max(0, min(lo, n - 1))
+    hi = max(lo, min(hi, n - 1))
+    c0 = (lo // _CT_NA) * _CT_NA
+    c1 = min(((hi // _CT_NA) + 1) * _CT_NA, n)
+    lanes = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, c1 - c0), 1) + jnp.int32(c0)
+    )
+    return jnp.sum(
+        jnp.where(lanes == idx, table[:, c0:c1], _F32(0.0)),
+        axis=1,
+        keepdims=True,
+    )
+
+
 def _candidate_lanes(corr, e_tab, xx, pidx):
     """ops/pitch.py::doubling_candidates on (bk, .) lanes.
 
     ``e_tab`` is the FORWARD 385-lag energy table; the reversed walk
     yy_lookup[t] == max(e_tab[384 - t], 0) is realized by index
-    arithmetic in the lookups (no lane flip)."""
+    arithmetic in the lookups (no lane flip).
+
+    Every lookup index is STATICALLY bounded: pidx ranges over
+    [PITCH_MAX_PERIOD - 2(_N_FINE-1) - 1, PITCH_MAX_PERIOD + 1] (pad rows
+    resolve to PITCH_MAX_PERIOD), so t0 in [90, 383], and the octave
+    candidates t1(k) = (2 t0 + k) // (2k) live in ~384/k-wide windows.
+    Each lookup therefore scans only the 128-lane columns covering its
+    proven range (_lookup_rng) — the walk was ~17 ms of the kernel's
+    ~68 ms device time at full width, dominated by always-false
+    compare/reduce lanes."""
     maxp = PITCH_MAX_DS
+    # pidx = PITCH_MAX_PERIOD - (2*best2 - offset), best2 in [0, 294),
+    # offset in {-1,0,1} -> t0 = min(pidx//2, maxp-1) in [t0_lo, maxp-1]
+    t0_lo = (PITCH_MAX_PERIOD - 2 * (_N_FINE - 1) - 1) // 2  # 90
+    t0_hi = maxp - 1
     t0 = jnp.minimum(_div_const(pidx, 2), maxp - 1)
 
-    def corr_at(t):
-        return _lookup(corr, maxp - t)
+    def corr_at(t, lo, hi):
+        # corr_at over candidate range [lo, hi] -> index range reversed
+        return _lookup_rng(corr, maxp - t, maxp - hi, maxp - lo)
 
-    def yy_at(t):
-        return jnp.maximum(_lookup(e_tab, maxp - t), _F32(0.0))
+    def yy_at(t, lo, hi):
+        return jnp.maximum(
+            _lookup_rng(e_tab, maxp - t, maxp - hi, maxp - lo), _F32(0.0)
+        )
 
     def pitch_gain(xy, yy):
         return xy / jnp.sqrt(_F32(1.0) + xx * yy)
 
-    xy0 = corr_at(t0)
-    yy0 = yy_at(t0)
+    xy0 = corr_at(t0, t0_lo, t0_hi)
+    yy0 = yy_at(t0, t0_lo, t0_hi)
     g0 = pitch_gain(xy0, yy0)
 
     t1s, xys, yys, g1s = [], [], [], []
+    bounds = [(t0_lo, t0_hi)]
     for k in range(2, 16):
         t1 = _div_const(2 * t0 + k, 2 * k)
+        # (2 a t0 + k) // (2k) is nondecreasing in t0 -> endpoint bounds
+        lo1, hi1 = (2 * t0_lo + k) // (2 * k), (2 * t0_hi + k) // (2 * k)
         if k == 2:
             t1b = jnp.where(t1 + t0 > maxp, t0, t0 + t1)
+            lob, hib = t0_lo, maxp
         else:
-            t1b = _div_const(2 * SECOND_CHECK[k] * t0 + k, 2 * k)
-        xy = (corr_at(t1) + corr_at(t1b)) * _F32(0.5)
-        yy = (yy_at(t1) + yy_at(t1b)) * _F32(0.5)
+            sc = SECOND_CHECK[k]
+            t1b = _div_const(2 * sc * t0 + k, 2 * k)
+            lob = (2 * sc * t0_lo + k) // (2 * k)
+            hib = (2 * sc * t0_hi + k) // (2 * k)
+        xy = (corr_at(t1, lo1, hi1) + corr_at(t1b, lob, hib)) * _F32(0.5)
+        yy = (yy_at(t1, lo1, hi1) + yy_at(t1b, lob, hib)) * _F32(0.5)
         t1s.append(t1)
+        bounds.append((lo1, hi1))
         xys.append(xy)
         yys.append(yy)
         g1s.append(pitch_gain(xy, yy))
 
     cands = [t0] + t1s
-    cm1 = [corr_at(t - 1) for t in cands]
-    cc = [corr_at(t) for t in cands]
-    cp1 = [corr_at(t + 1) for t in cands]
+    cm1 = [corr_at(t - 1, lo - 1, hi - 1) for t, (lo, hi) in zip(cands, bounds)]
+    cc = [corr_at(t, lo, hi) for t, (lo, hi) in zip(cands, bounds)]
+    cp1 = [corr_at(t + 1, lo + 1, hi + 1) for t, (lo, hi) in zip(cands, bounds)]
     return jnp.concatenate(
         [t0.astype(_F32), g0, xy0, yy0]
         + [t.astype(_F32) for t in t1s]
@@ -414,7 +459,14 @@ def _candidate_lanes(corr, e_tab, xx, pidx):
     )
 
 
-def _make_pitch_kernel(mxu3: bool):
+def _make_pitch_kernel(mxu3: bool, skip: tuple = ()):
+    # ``skip`` (profiling only): stub out stages so skip-deltas attribute
+    # kernel time, mirroring frame_kernel's knob.  Stages: 'whiten' (LPC +
+    # FIR), 'etab' (385-lag energy table), 'corr' (the whole 385-lag CT
+    # correlation), 'corrinv' (only the CT inverse matmul), 'coarse' (the
+    # 4x-decimated search), 'cand' (the candidate-lane walk).  Stubbed
+    # stages write zeros of the right shape; XLA/Mosaic dead-code
+    # elimination then drops the stage's compute.
     def kernel(x_ref, *refs):
         if mxu3:
             (
@@ -462,11 +514,14 @@ def _make_pitch_kernel(mxu3: bool):
                     preferred_element_type=_F32,
                 )
         x = x_ref[:, :]  # (bk, 864) raw downsampled window
-        y = _whiten_block(x)
+        y = x if "whiten" in skip else _whiten_block(x)
 
         # shared 385-lag forward window-energy table (0/1 matrix: exact)
         y2 = y * y
-        e_tab = mm01(y2, w_e_ref[:, :])  # (bk, 385)
+        if "etab" in skip:
+            e_tab = jnp.zeros((x.shape[0], _N_LAGS), _F32)
+        else:
+            e_tab = mm01(y2, w_e_ref[:, :])  # (bk, 385)
 
         # 385-lag correlation corr[s] = dot(y[384:], y[s:s+480]) via the
         # 1024-point contiguous-block CT DFT (see _ct_dft_bases)
@@ -484,27 +539,37 @@ def _make_pitch_kernel(mxu3: bool):
         y6 = pltpu.roll(y, _N_DS - 6 * _CT_NA, axis=1)[:, :_CT_NA]
         l6 = jax.lax.broadcasted_iota(jnp.int32, y6.shape, 1)
         yb.append(jnp.where(l6 < _N_DS - 6 * _CT_NA, y6, _F32(0.0)))
-        xres, xims = _ct_forward(xb, ct_split, ct_mm)
-        yres, yims = _ct_forward(yb, ct_split, ct_mm)
-        # conj(X) * Y per phase, packed [Pr(640) | Pi(640)] scrambled order
-        pr = [xres[r] * yres[r] + xims[r] * yims[r] for r in range(_CT_R)]
-        pi = [xres[r] * yims[r] - xims[r] * yres[r] for r in range(_CT_R)]
-        prod = jnp.concatenate(pr + pi, axis=1)  # (bk, 1280)
-        corr = mm(prod, "ic")  # (bk, 384); lag 384 never read (see bases)
+        if "corr" in skip:
+            corr = jnp.zeros((x.shape[0], _N_LAGS - 1), _F32)
+        else:
+            xres, xims = _ct_forward(xb, ct_split, ct_mm)
+            yres, yims = _ct_forward(yb, ct_split, ct_mm)
+            # conj(X) * Y per phase, packed [Pr(640)|Pi(640)] scrambled order
+            pr = [xres[r] * yres[r] + xims[r] * yims[r] for r in range(_CT_R)]
+            pi = [xres[r] * yims[r] - xims[r] * yres[r] for r in range(_CT_R)]
+            prod = jnp.concatenate(pr + pi, axis=1)  # (bk, 1280)
+            if "corrinv" in skip:
+                corr = prod[:, : _N_LAGS - 1]
+            else:
+                corr = mm(prod, "ic")  # (bk, 384); lag 384 never read
 
         # coarse stage on 4x-decimated views (exact 0/1 selectors)
-        y4 = mm01(y, d_y4_ref[:, :])  # (bk, 387) = y[0::2][:387]
-        x4 = mm01(tail, d_x4_ref[:, :])  # (bk, 256) = y[384::2][:240]
-        x4k = mm(x4, "fr4x")
-        y4k = mm(y4, "fr4")
-        x4r, x4i = x4k[:, :_H4_PAD], x4k[:, _H4_PAD:]
-        y4r, y4i = y4k[:, :_H4_PAD], y4k[:, _H4_PAD:]
-        prod4 = jnp.concatenate(
-            [x4r * y4r + x4i * y4i, x4r * y4i - x4i * y4r], axis=1
-        )
-        xcorr4 = mm(prod4, "ic4")  # (bk, 147)
-        w4 = mm01(y4 * y4, w4_ref[:, :])  # (bk, 147)
-        best4, second4 = _find_best_pitch_block(xcorr4, w4)
+        if "coarse" in skip:
+            best4 = jnp.zeros((x.shape[0], 1), jnp.int32)
+            second4 = jnp.zeros((x.shape[0], 1), jnp.int32)
+        else:
+            y4 = mm01(y, d_y4_ref[:, :])  # (bk, 387) = y[0::2][:387]
+            x4 = mm01(tail, d_x4_ref[:, :])  # (bk, 256) = y[384::2][:240]
+            x4k = mm(x4, "fr4x")
+            y4k = mm(y4, "fr4")
+            x4r, x4i = x4k[:, :_H4_PAD], x4k[:, _H4_PAD:]
+            y4r, y4i = y4k[:, :_H4_PAD], y4k[:, _H4_PAD:]
+            prod4 = jnp.concatenate(
+                [x4r * y4r + x4i * y4i, x4r * y4i - x4i * y4r], axis=1
+            )
+            xcorr4 = mm(prod4, "ic4")  # (bk, 147)
+            w4 = mm01(y4 * y4, w4_ref[:, :])  # (bk, 147)
+            best4, second4 = _find_best_pitch_block(xcorr4, w4)
 
         # fine stage: the shared correlation masked to the candidate set
         fine_lanes = jax.lax.broadcasted_iota(
@@ -536,14 +601,19 @@ def _make_pitch_kernel(mxu3: bool):
         pidx = PITCH_MAX_PERIOD - search  # (bk, 1) i32
 
         xx = jnp.maximum(e_tab[:, PITCH_MAX_DS:], _F32(0.0))  # (bk, 1)
-        cand_ref[:, :] = _candidate_lanes(corr, e_tab, xx, pidx)
+        if "cand" in skip:
+            cand_ref[:, :] = jnp.zeros((x.shape[0], 105), _F32) + xx
+        else:
+            cand_ref[:, :] = _candidate_lanes(corr, e_tab, xx, pidx)
         pidx_ref[:, :] = pidx
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block"))
-def pitch_analysis_pallas(x_lp_raw, interpret: bool = False, block: int = 128):
+@functools.partial(jax.jit, static_argnames=("interpret", "block", "skip"))
+def pitch_analysis_pallas(
+    x_lp_raw, interpret: bool = False, block: int = 128, skip: tuple = ()
+):
     """(R, 864) raw 2x-downsampled windows -> ((R, 105) candidate lanes,
     (R,) i32 pitch_idx).
 
@@ -570,7 +640,7 @@ def pitch_analysis_pallas(x_lp_raw, interpret: bool = False, block: int = 128):
         for c in operands
     ]
     cand, pidx = pl.pallas_call(
-        _make_pitch_kernel(mxu3),
+        _make_pitch_kernel(mxu3, skip),
         grid=(rp // block,),
         in_specs=[spec(_N_DS)] + const_specs,
         out_specs=[spec(105), spec(1)],
