@@ -164,14 +164,13 @@ def precompute_chunk(
     odd = full[:, 1::2]
     prev_odd = jnp.concatenate([jnp.zeros((b, 1), _F32), odd[:, :-1]], axis=1)
     ds = ((prev_odd + odd) * _F32(0.5) + even) * _F32(0.5)  # (B, L/2)
-    x_lp_raw = _frame_windows(ds, t, FRAME_SIZE // 2, _DS_WIN, FRAME_SIZE // 2)
     # Reference semantics: each frame's buffer is downsampled with x[-1]=0
     # at ITS OWN start (pitch.rs:455-458); only element 0 differs from the
     # full-signal decimation — recompute it window-locally.
     starts = FRAME_SIZE * (jnp.arange(t, dtype=jnp.int32) + 1)
     even0 = full[:, starts].T  # (T, B) = w[0]
     odd0 = full[:, starts + 1].T  # (T, B) = w[1]
-    x_lp_raw = x_lp_raw.at[..., 0].set((odd0 * _F32(0.5) + even0) * _F32(0.5))
+    w0_tm = (odd0 * _F32(0.5) + even0) * _F32(0.5)  # (T, B) lane-0 patches
 
     from . import flags
 
@@ -182,6 +181,10 @@ def precompute_chunk(
         # with a hot-path all-gather (caught by
         # test_parallel.py::test_gspmd_scan_path_has_no_collectives).
         # Double-vmap batches the same MXU products at (T, B, ...) shapes.
+        x_lp_raw = _frame_windows(
+            ds, t, FRAME_SIZE // 2, _DS_WIN, FRAME_SIZE // 2
+        )
+        x_lp_raw = x_lp_raw.at[..., 0].set(w0_tm)
         vv = lambda f: jax.vmap(jax.vmap(f))
         x_lp = vv(whiten)(x_lp_raw)
         # The fine-search correlation dot(x_lp[384:], x_lp[i:i+480]) IS
@@ -205,12 +208,15 @@ def precompute_chunk(
         # the ENTIRE pitch stack — whiten, shared 385-lag correlation,
         # energy table, coarse/fine search and candidate tables — as ONE
         # parallel Pallas kernel; every intermediate stays in VMEM
-        # (ops/pitch_kernel.py).  NNT_PITCH_KERNEL=0 (captured at import,
-        # flags.py) falls back to the round-2 XLA chain above — the
-        # operational escape hatch if Mosaic regresses on this kernel.
-        from .ops.pitch_kernel import pitch_analysis_pallas
+        # (ops/pitch_kernel.py).  The STREAM variant keeps the sliding
+        # 864-sample window in VMEM scratch over a sequential T grid, so
+        # the (T, B, 864) window stack (3.5x-redundant HBM traffic) is
+        # never materialized at all.  NNT_PITCH_KERNEL=0 (captured at
+        # import, flags.py) falls back to the round-2 XLA chain above —
+        # the operational escape hatch if Mosaic regresses on this kernel.
+        from .ops.pitch_kernel import pitch_analysis_stream
 
-        cand, _ = pitch_analysis_pallas(x_lp_raw.reshape(t * b, _DS_WIN))
+        cand, _ = pitch_analysis_stream(ds, w0_tm, t)
 
     pre = FramePre(
         filtered=filtered_tm,

@@ -54,6 +54,7 @@ _F32 = jnp.float32
 _BF16 = jnp.bfloat16
 
 _N_DS = 864  # downsampled pitch-buffer length
+_DS_STEP = 240  # ds samples per frame (FRAME_SIZE / 2): window stride
 _N_LAGS = PITCH_MAX_DS + 1  # 385
 _N_FINE = MAX_PITCH // 2  # 294 fine-search lags
 _N_COARSE = MAX_PITCH // 4  # 147 coarse lags
@@ -459,7 +460,7 @@ def _candidate_lanes(corr, e_tab, xx, pidx):
     )
 
 
-def _make_pitch_kernel(mxu3: bool, skip: tuple = ()):
+def _make_pitch_kernel(mxu3: bool, skip: tuple = (), stream: bool = False):
     # ``skip`` (profiling only): stub out stages so skip-deltas attribute
     # kernel time, mirroring frame_kernel's knob.  Stages: 'whiten' (LPC +
     # FIR), 'etab' (385-lag energy table), 'corr' (the whole 385-lag CT
@@ -467,7 +468,21 @@ def _make_pitch_kernel(mxu3: bool, skip: tuple = ()):
     # 4x-decimated search), 'cand' (the candidate-lane walk).  Stubbed
     # stages write zeros of the right shape; XLA/Mosaic dead-code
     # elimination then drops the stage's compute.
+    #
+    # ``stream``: the sliding-window variant (pitch_analysis_stream).
+    # Consecutive frames' 864-lane windows overlap by 624 samples, so the
+    # stacked form streams 3.5x redundant HBM traffic; here the grid is
+    # (B/block, T) with T sequential and the window lives in VMEM scratch —
+    # each step DMAs only the 240 NEW downsampled samples plus the 1-lane
+    # boundary patch, and the window advances by an in-VMEM shift.
     def kernel(x_ref, *refs):
+        # stream mode: x_ref is the (block, 864) window-0 head; two extra
+        # leading inputs (the 240 new ds samples + the lane-0 patch) and a
+        # trailing VMEM scratch hold the sliding window.
+        if stream:
+            news_ref, w0_ref = refs[0], refs[1]
+            w_scr = refs[-1]
+            refs = refs[2:-1]
         if mxu3:
             (
                 bc_hi, bc_lo, bs_hi, bs_lo, ic_hi, ic_lo, fr4_hi,
@@ -513,7 +528,29 @@ def _make_pitch_kernel(mxu3: bool, skip: tuple = ()):
                     ct[which][_CT_NA * r : _CT_NA * (r + 1), :],
                     preferred_element_type=_F32,
                 )
-        x = x_ref[:, :]  # (bk, 864) raw downsampled window
+        if stream:
+            t = pl.program_id(1)
+
+            @pl.when(t == 0)
+            def _init_window():
+                w_scr[:, :] = x_ref[:, :]  # window 0 (the head slice)
+
+            @pl.when(t != 0)
+            def _advance_window():
+                cur = w_scr[:, :]
+                w_scr[:, :] = jnp.concatenate(
+                    [cur[:, _DS_STEP:], news_ref[0, :, :]], axis=1
+                )
+
+            x = w_scr[:, :]
+            # reference zero-boundary semantics: lane 0 of EACH window is
+            # the window-local decimation value (chunk.py builds the same
+            # patch for the stacked path); the patch is applied to the
+            # local copy only — the shifted-out lane never carries it.
+            l0 = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+            x = jnp.where(l0 == 0, w0_ref[0, :, :], x)
+        else:
+            x = x_ref[:, :]  # (bk, 864) raw downsampled window
         y = x if "whiten" in skip else _whiten_block(x)
 
         # shared 385-lag forward window-energy table (0/1 matrix: exact)
@@ -651,3 +688,95 @@ def pitch_analysis_pallas(
         interpret=interpret,
     )(x_lp_raw, *operands)
     return cand[:r], pidx[:r, 0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("t_count", "interpret", "block", "skip")
+)
+def pitch_analysis_stream(
+    ds,
+    w0,
+    t_count: int,
+    interpret: bool = False,
+    block: int = 128,
+    skip: tuple = (),
+):
+    """Sliding-window pitch analysis over a contiguous ds signal.
+
+    ``ds`` (B, >= 864 + 240*t_count): the 2x-downsampled HP-filtered
+    signal including the 864-sample history head (chunk.py builds it);
+    frame t's window is ds[:, 240(t+1) : 240(t+1) + 864].  ``w0``
+    (t_count, B): the window-local lane-0 decimation patch (reference
+    zero-boundary semantics, pitch.rs:455-458).  Returns ((t_count, B,
+    105) candidate lanes, (t_count, B) i32 pitch_idx) — identical values
+    to pitch_analysis_pallas on the stacked windows, but the kernel DMAs
+    only the 240 NEW samples per frame (the stacked form re-streams the
+    624 overlapped lanes of every window: 3.5x the HBM traffic, measured
+    ~10 ms of the kernel's ~63 ms at B=4096/T=100), and the precompute
+    never materializes the (T, B, 864) stack at all."""
+    b = ds.shape[0]
+    need = _N_DS + _DS_STEP * t_count
+    if ds.shape[1] < need:
+        raise ValueError(
+            f"ds too short for {t_count} windows: need {need} samples, "
+            f"have {ds.shape[1]}"
+        )
+    bp = -(-b // block) * block
+    if bp != b:
+        ds = jnp.pad(ds, ((0, bp - b), (0, 0)))
+        w0 = jnp.pad(w0, ((0, 0), (0, bp - b)))
+    head = ds[:, _DS_STEP : _DS_STEP + _N_DS]  # window 0
+    # tails of windows 1..T-1, TIME-MAJOR: Mosaic lane blocks must be
+    # 128-divisible or full-width, so the 240-wide per-frame blocks ride
+    # the last axis of a (T, B, 240) view (one XLA transpose — 3.5x less
+    # traffic than the stacked windows even counting it).
+    news = ds[:, _N_DS : _N_DS + _DS_STEP * t_count]
+    news = jnp.swapaxes(news.reshape(bp, t_count, _DS_STEP), 0, 1)
+    w0t = w0[:, :, None]  # (T, B, 1)
+    nb = bp // block
+
+    mxu3 = not interpret
+    operands = _pitch_operands(mxu3)
+    const_specs = [
+        pl.BlockSpec(c.shape, lambda i, t: (0, 0), memory_space=pltpu.VMEM)
+        for c in operands
+    ]
+    cand, pidx = pl.pallas_call(
+        _make_pitch_kernel(mxu3, skip, stream=True),
+        grid=(nb, t_count),
+        in_specs=[
+            pl.BlockSpec(
+                (block, _N_DS), lambda i, t: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, block, _DS_STEP),
+                lambda i, t: (t, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block, 1), lambda i, t: (t, i, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+        + const_specs,
+        out_specs=[
+            pl.BlockSpec(
+                (block, 105),
+                lambda i, t, nb=nb: (t * nb + i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block, 1),
+                lambda i, t, nb=nb: (t * nb + i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_count * bp, 105), jnp.float32),
+            jax.ShapeDtypeStruct((t_count * bp, 1), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((block, _N_DS), jnp.float32)],
+        interpret=interpret,
+    )(head, news, w0t, *operands)
+    cand = cand.reshape(t_count, bp, 105)[:, :b]
+    pidx = pidx.reshape(t_count, bp)[:, :b]
+    return cand, pidx

@@ -37,7 +37,10 @@ from nnnoiseless_tpu.ops.pitch import (
     whiten,
     window_energies,
 )
-from nnnoiseless_tpu.ops.pitch_kernel import pitch_analysis_pallas
+from nnnoiseless_tpu.ops.pitch_kernel import (
+    pitch_analysis_pallas,
+    pitch_analysis_stream,
+)
 
 T_LANES = [0] + list(range(4, 18))  # t0 + t1(k=2..15): exact small ints
 G_LANES = [1] + list(range(46, 60))  # g0 + g1: decision ratios
@@ -110,3 +113,33 @@ def test_row_padding(batches):
     cand, pidx = pitch_analysis_pallas(flat, interpret=True)
     assert cand.shape == (37, 105) and pidx.shape == (37,)
     np.testing.assert_array_equal(np.asarray(pidx), np.asarray(pidx_ref))
+
+
+@pytest.mark.parametrize("b", [5, 3])  # incl. a non-block-multiple batch
+def test_stream_matches_stacked(b):
+    """The sliding-window (scratch-carried) kernel consumes IDENTICAL
+    window contents (incl. the lane-0 boundary patch) as the stacked
+    kernel — only the DMA shape differs.  Decisions must match exactly;
+    float lanes get the same row-scale bar as the XLA-chain test (the two
+    interpret graphs fuse differently, so reduction-order f32 ulps pass
+    through the ill-conditioned whitening LPC, exactly as documented in
+    the module docstring)."""
+    t = 4
+    rng = np.random.RandomState(11)
+    ds = jnp.asarray((rng.randn(b, 864 + 240 * t) * 3000).astype(np.float32))
+    w0 = jnp.asarray((rng.randn(t, b) * 3000).astype(np.float32))
+    wins = jnp.stack(
+        [ds[:, 240 + 240 * k : 1104 + 240 * k] for k in range(t)], axis=0
+    ).at[..., 0].set(w0)
+    c_stk, p_stk = pitch_analysis_pallas(
+        wins.reshape(t * b, 864), interpret=True
+    )
+    c_str, p_str = pitch_analysis_stream(ds, w0, t, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(p_stk).reshape(t, b), np.asarray(p_str)
+    )
+    c, cr = np.asarray(c_str).reshape(t * b, 105), np.asarray(c_stk)
+    np.testing.assert_array_equal(c[:, T_LANES], cr[:, T_LANES])
+    assert np.abs(c[:, G_LANES] - cr[:, G_LANES]).max() < 1e-3
+    rowscale = np.abs(cr).max(axis=1, keepdims=True) + 1.0
+    assert (np.abs(c - cr) / rowscale).max() < 5e-3
