@@ -185,6 +185,13 @@ def _carry_prop_tables(a0, a1, b0, b1, n, t_count):
     )
 
 
+# Sub-frame length for the blocked contraction below.  480-sample frames
+# split 4x: the Toeplitz W cost per sample is O(n_sub) (k blocks of
+# (n/k)^2), so 120-sample sub-frames cut the dominant HIGHEST-precision
+# matmul ~4x while staying one lane-pad away from the 128 MXU tile.
+_SUB_FRAME = 120
+
+
 def biquad_filter_frames(
     frames: jnp.ndarray, mem: jnp.ndarray, a: tuple, b: tuple
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -197,8 +204,29 @@ def biquad_filter_frames(
     instead of a T-step scan.  Identical math to per-frame
     :func:`biquad_filter_dense` calls.
 
+    The frame axis is only a view: the carry propagation is exact at ANY
+    block length, so the chunk is re-sliced into 120-sample sub-frames
+    first — the (n, n) Toeplitz contraction is quadratic in block length
+    while the carry matmul is quadratic in block COUNT but ~1000x smaller,
+    so 4x shorter blocks cut the dominant matmul ~4x (the sub-frame carry
+    tables are built in f64 like the frame-level ones; same modal
+    conditioning story).
+
     Returns (filtered (B, T, n), mem' (B, 2)).
     """
+    b_sz, t_count, n = frames.shape
+    if n % _SUB_FRAME == 0 and n > _SUB_FRAME:
+        k = n // _SUB_FRAME
+        y, mem_out = _biquad_frames_blocked(
+            frames.reshape(b_sz, t_count * k, _SUB_FRAME), mem, a, b
+        )
+        return y.reshape(b_sz, t_count, n), mem_out
+    return _biquad_frames_blocked(frames, mem, a, b)
+
+
+def _biquad_frames_blocked(
+    frames: jnp.ndarray, mem: jnp.ndarray, a: tuple, b: tuple
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     b_sz, t_count, n = frames.shape
     a0, a1 = float(a[0]), float(a[1])
     b0, b1 = float(b[0]), float(b[1])

@@ -875,7 +875,7 @@ def _pad_batch(arr, bp: int, axis: int):
 
 
 def run_fused_scan(params, meta, carry, pre, interpret: bool = False,
-                   block: int = _BLOCK, skip: tuple = (),
+                   block: int | None = None, skip: tuple = (),
                    fps: int | None = None, return_trace: bool = False):
     """Adapter: DenoiseCarry + FramePre (B, T, ...) -> same pytree outputs
     as the lax.scan path (carry', out (B,T,480), vad (B,T)); with
@@ -892,6 +892,13 @@ def run_fused_scan(params, meta, carry, pre, interpret: bool = False,
     from ..pipeline import DenoiseCarry, FeatureState
 
     t, b = pre.filtered.shape[0], pre.filtered.shape[1]
+    if block is None:
+        # 256-row blocks halve the grid's per-step pipeline overhead and
+        # measure ~6 ms/chunk faster at production batch (two-phase steady
+        # 186.4 vs 192.3 ms, v5e 08-20); batches that cannot fill a 256
+        # block keep 128 to halve the zero-stream padding.  Results are
+        # block-size-invariant: every reduction is within a row (stream).
+        block = 256 if b > _BLOCK else _BLOCK
     bp = -(-b // block) * block
     feat = carry.feat
     carry_arrays = (
